@@ -1,13 +1,228 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator family from SURVEY.md §2
+  * exercised over the driver-generated tables in `sfDir`; entries with a
+  * matching [[oracleSql]] are cross-checked row/schema/hash against DuckDB.
+  *
+  * Numeric determinism: double sums are computed through exact DECIMAL
+  * aggregation and only then cast back to DOUBLE, so Spark's partial
+  * aggregation order and DuckDB's single-threaded order give bit-identical
+  * results.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exact decimal sum of a double column, returned as double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("kg_triples")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Query registry. Keys are stable; comments cite SURVEY.md §2 ids.
+  // ---------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A3-style multi-agg with exact decimal arithmetic (TPC-H Q1 shape).
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(BigDecimal(1)).cast("decimal(18,2)") -
+               col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // J-family relational join: broadcast dims (customer is small), one
+    // shuffle on the fact side only. At 100 TB the dim stays broadcast.
+    "q2_join_broadcast" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(BigDecimal(1)).cast("decimal(18,2)") -
+                col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // O/W-family: ranking window, top-3 parts per supplier by price.
+    "q3_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+                 col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("l_suppkey", "rk", "l_orderkey", "l_linenumber",
+                "l_extendedprice")
+        .orderBy("l_suppkey", "rk")
+    }),
+
+    // J-family semi + anti joins: per segment, customers with vs without
+    // at least one urgent order (left_semi / left_anti against the same
+    // filtered build side — filter is pushed below the join).
+    "q4_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val withU = c.join(urgent, c("c_custkey") === urgent("o_custkey"),
+          "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("with_urgent"))
+      val withoutU = c.join(urgent, c("c_custkey") === urgent("o_custkey"),
+          "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("without_urgent"))
+      withU.join(withoutU, Seq("c_mktsegment"), "full_outer")
+        .na.fill(0L, Seq("with_urgent", "without_urgent"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // A2 vocabulary extraction: distinct token + count over documents
+    // (the reference's gazetteer count-build, SURVEY §2.4 A1/A2).
+    "doc_vocab" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tkn"))
+        .filter(length(col("tkn")) > 0)
+        .groupBy("tkn").agg(count(lit(1)).as("n"))
+        .orderBy("tkn")
+    }),
+
+    // Text analysis: token count + simple quality signals per doc.
+    "doc_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len"),
+          (length(col("text")) -
+           length(regexp_replace(col("text"), "[aeiou]", "")))
+            .cast("long").as("n_vowels"))
+        .orderBy("doc_id")
+    }),
+
+    // A9-style exact dedup over documents: md5 content key, min doc id
+    // survives (hash-groupBy; at scale this is one shuffle on the digest).
+    "doc_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_key"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+        .orderBy("content_key")
+    }),
+
+    // W1-analog sessionization over events: session = gap > 30 min,
+    // lag + running sum (the reference's block-change segmentation shape).
+    "q6_events_session" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+               unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+               1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+             dsum(col("value")).as("sess_value"))
+        .orderBy("user_id", "sess_id")
+    }),
+
+    // Placeholder flagship KG query — replaced by the real pipeline once
+    // the extract kernel lands; reads documents as a page-like corpus.
+    "kg_triples" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+                split(col("text"), " ").as("tokens"))
+        .select(col("doc_id"), col("source"), col("lang"),
+                explode(col("tokens")).as("obj"))
+        .filter(length(col("obj")) > 4)
+        .groupBy("source", "obj")
+        .agg(count(lit(1)).as("support"))
+        .orderBy("source", "obj")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL. Column names/aliases match the Spark results
+  // exactly (driver sorts columns by name before hashing).
+  // ---------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_broadcast" ->
+      """SELECT c_mktsegment,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q3_window_topk" ->
+      """SELECT l_suppkey, rk, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rk
+        |FROM lineitem) WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+    "q4_semi_anti" ->
+      """SELECT c_mktsegment,
+        |COUNT(*) FILTER (WHERE has_u) AS with_urgent,
+        |COUNT(*) FILTER (WHERE NOT has_u) AS without_urgent
+        |FROM (SELECT c_mktsegment, EXISTS(SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') AS has_u
+        |  FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "doc_vocab" ->
+      """SELECT tkn, COUNT(*) AS n FROM (
+        |SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tkn FROM documents)
+        |WHERE LENGTH(tkn) > 0 GROUP BY tkn ORDER BY tkn""".stripMargin,
+    "doc_quality" ->
+      """SELECT doc_id, lang,
+        |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |CAST(LENGTH(text) AS BIGINT) AS len,
+        |CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_dedup_exact" ->
+      """SELECT MD5(text) AS content_key, MIN(doc_id) AS keeper,
+        |COUNT(*) AS copies FROM documents
+        |GROUP BY MD5(text) ORDER BY content_key""".stripMargin,
+    "q6_events_session" ->
+      """WITH g AS (
+        |SELECT user_id, ts, event_id, value,
+        |CASE WHEN LAG(ts) OVER w IS NULL
+        |     OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |SELECT user_id, value,
+        |CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |FROM g)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sess_value
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+  )
 }
