@@ -1,0 +1,383 @@
+package graft.dom
+
+import java.util.regex.Pattern
+import graft.extract.Py
+
+/** Event sink for [[HtmlParser]] (the shape of CPython html.parser's
+  * handler methods that bs4's tree builder consumes).
+  */
+trait HtmlEvents {
+  def handleStartTag(name: String, attrs: List[(String, Option[String])]): Unit
+  def handleStartEndTag(name: String, attrs: List[(String, Option[String])]): Unit
+  def handleEndTag(name: String): Unit
+  def handleData(data: String): Unit
+  def handleComment(data: String): Unit
+  def handleEntityRef(name: String): Unit
+  def handleCharRef(name: String): Unit
+  def handleDecl(data: String): Unit
+  def handlePi(data: String): Unit
+  def unknownDecl(data: String): Unit
+}
+
+/** Scala re-implementation of CPython's `html.parser.HTMLParser`
+  * tokenization semantics (convert_charrefs=True, the bs4 default), which
+  * is what the reference uses via `BeautifulSoup(html, 'html.parser')`
+  * (`util/html_segmenter.py:259`). This is deliberately NOT an HTML5-spec
+  * tokenizer: html.parser's tolerant regex-driven behavior (bogus
+  * comments, junk-in-tag recovery, cdata raw-text for script/style,
+  * charref decoding with the legacy no-semicolon names) is part of the
+  * byte-parity contract.
+  *
+  * The whole document is parsed in one pass with EOF ("close()")
+  * recovery semantics inlined.
+  */
+final class HtmlParser(events: HtmlEvents, convertCharrefs: Boolean = true) {
+  import HtmlParser._
+
+  private var cdataElem: String = null
+  private var interestingCdata: Pattern = null
+
+  def parse(rawdata: String): Unit = {
+    val n = rawdata.length
+    var i = 0
+    while (i < n) {
+      // find the next interesting position
+      var j = 0
+      var breakLoop = false
+      if (cdataElem == null) {
+        if (convertCharrefs) {
+          j = rawdata.indexOf('<', i)
+          if (j < 0) j = n
+        } else {
+          // interesting_normal = [&<]
+          val lt = rawdata.indexOf('<', i)
+          val amp = rawdata.indexOf('&', i)
+          j = if (lt < 0) amp else if (amp < 0) lt else math.min(lt, amp)
+          if (j < 0) j = n
+        }
+      } else {
+        val m = interestingCdata.matcher(rawdata)
+        if (m.find(i)) j = m.start()
+        else { breakLoop = true; j = i } // unclosed cdata: trailing dropped
+      }
+      if (breakLoop) { i = n }
+      else {
+        if (i < j) {
+          if (cdataElem == null && convertCharrefs)
+            events.handleData(Entities.unescape(rawdata.substring(i, j)))
+          else events.handleData(rawdata.substring(i, j))
+        }
+        i = j
+        if (i < n && rawdata.charAt(i) == '&' && cdataElem == null && !convertCharrefs) {
+          i = handleAmp(rawdata, i)
+        } else if (i < n) {
+          // dispatch on the construct at '<'
+          var k = 0
+          if (startTagOpen(rawdata, i)) k = parseStartTag(rawdata, i)
+          else if (rawdata.startsWith("</", i)) k = parseEndTag(rawdata, i)
+          else if (rawdata.startsWith("<!--", i)) k = parseComment(rawdata, i)
+          else if (rawdata.startsWith("<?", i)) k = parsePi(rawdata, i)
+          else if (rawdata.startsWith("<!", i)) k = parseHtmlDeclaration(rawdata, i)
+          else { events.handleData("<"); k = i + 1 }
+          if (k < 0) {
+            // EOF recovery (close() path): emit the rest as data
+            k = rawdata.indexOf('>', i + 1)
+            if (k < 0) {
+              k = rawdata.indexOf('<', i + 1)
+              if (k < 0) k = i + 1
+            } else k += 1
+            if (cdataElem == null)
+              events.handleData(Entities.unescape(rawdata.substring(i, k)))
+            else events.handleData(rawdata.substring(i, k))
+          }
+          i = k
+        }
+      }
+    }
+    // trailing data in cdata mode is dropped (html.parser close() semantics)
+  }
+
+  /** Non-convert-charrefs '&' dispatch (CPython goahead branches).
+    * Returns the new position; n means stop (EOF quirks mirrored).
+    */
+  private def handleAmp(rawdata: String, i: Int): Int = {
+    val n = rawdata.length
+    if (rawdata.startsWith("&#", i)) {
+      val m = charrefNum.matcher(rawdata)
+      m.region(i, n); m.useTransparentBounds(true); m.useAnchoringBounds(false)
+      if (m.lookingAt()) {
+        val g = m.group()
+        events.handleCharRef(g.substring(2, g.length - 1))
+        var k = m.end()
+        if (rawdata.charAt(k - 1) != ';') k -= 1
+        k
+      } else if (rawdata.indexOf(';', i) >= 0) {
+        // bail by consuming '&#'; parsing resumes after it (close() rerun)
+        events.handleData(rawdata.substring(i, i + 2))
+        i + 2
+      } else {
+        // no ';' ahead: break, then close() emits the tail raw
+        events.handleData(rawdata.substring(i))
+        n
+      }
+    } else {
+      val m = entityRef.matcher(rawdata)
+      m.region(i, n); m.useTransparentBounds(true); m.useAnchoringBounds(false)
+      if (m.lookingAt()) {
+        events.handleEntityRef(m.group(1))
+        var k = m.end()
+        if (rawdata.charAt(k - 1) != ';') k -= 1
+        k
+      } else if (i + 2 == n && incompleteEnt.matcher(rawdata.substring(i)).lookingAt()) {
+        // exactly "&X" at EOF: CPython advances past '&' before the close()
+        // tail emit, so the '&' is dropped
+        events.handleData(rawdata.substring(i + 1))
+        n
+      } else if (i + 1 < n && incompleteEnt.matcher(rawdata.substring(i)).lookingAt()) {
+        // incomplete entity not at EOF boundary: close() re-emits raw tail
+        events.handleData(rawdata.substring(i))
+        n
+      } else {
+        events.handleData("&")
+        i + 1
+      }
+    }
+  }
+
+  private def setCdataMode(elem: String): Unit = {
+    cdataElem = elem.toLowerCase(java.util.Locale.ROOT)
+    interestingCdata = Pattern.compile(
+      "</[" + Py.SpaceClass + "]*" + Pattern.quote(cdataElem),
+      Pattern.CASE_INSENSITIVE)
+  }
+
+  private def clearCdataMode(): Unit = { cdataElem = null; interestingCdata = null }
+
+  private def startTagOpen(s: String, i: Int): Boolean =
+    i + 1 < s.length && isAsciiLetter(s.charAt(i + 1))
+
+  // --- start tags -------------------------------------------------------
+
+  private def parseStartTag(rawdata: String, i: Int): Int = {
+    val endpos = checkForWholeStartTag(rawdata, i)
+    if (endpos < 0) return endpos
+
+    var attrs = List.newBuilder[(String, Option[String])]
+    val tm = tagfindTolerant.matcher(rawdata)
+    tm.region(i + 1, rawdata.length)
+    tm.useTransparentBounds(true).useAnchoringBounds(false)
+    tm.lookingAt() // always matches: startTagOpen guaranteed a letter
+    var k = tm.end()
+    val tag = tm.group(1).toLowerCase(java.util.Locale.ROOT)
+
+    var done = false
+    while (k < endpos && !done) {
+      val m = attrfindTolerant.matcher(rawdata)
+      m.region(k, rawdata.length)
+      m.useTransparentBounds(true).useAnchoringBounds(false)
+      if (!m.lookingAt()) done = true
+      else {
+        val attrname = m.group(1)
+        val rest = m.group(2)
+        var attrvalue: Option[String] = if (rest == null) None else Option(m.group(3))
+        attrvalue = attrvalue.map { v =>
+          if (v.length >= 2 &&
+              ((v.charAt(0) == '\'' && v.charAt(v.length - 1) == '\'') ||
+               (v.charAt(0) == '"' && v.charAt(v.length - 1) == '"')))
+            v.substring(1, v.length - 1)
+          else v
+        }
+        // CPython: `if attrvalue: attrvalue = unescape(attrvalue)` — note
+        // the empty string stays as-is (truthiness), None stays None.
+        attrvalue = attrvalue.map(v => if (v.isEmpty) v else Entities.unescape(v))
+        attrs += ((attrname.toLowerCase(java.util.Locale.ROOT), attrvalue))
+        k = m.end()
+      }
+    }
+
+    val end = Py.strip(rawdata.substring(k, endpos))
+    if (end != ">" && end != "/>") {
+      events.handleData(rawdata.substring(i, endpos))
+      return endpos
+    }
+    if (end.endsWith("/>")) {
+      events.handleStartEndTag(tag, attrs.result())
+    } else {
+      events.handleStartTag(tag, attrs.result())
+      if (tag == "script" || tag == "style") setCdataMode(tag)
+    }
+    endpos
+  }
+
+  private def checkForWholeStartTag(rawdata: String, i: Int): Int = {
+    val m = locateStartTagEnd.matcher(rawdata)
+    m.region(i, rawdata.length)
+    m.useTransparentBounds(true).useAnchoringBounds(false)
+    if (m.lookingAt()) {
+      val j = m.end()
+      val next = if (j < rawdata.length) rawdata.charAt(j) else ' '
+      if (j >= rawdata.length) return -1 // end of input
+      if (next == '>') return j + 1
+      if (next == '/') {
+        if (rawdata.startsWith("/>", j)) return j + 2
+        return -1 // buffer boundary (EOF)
+      }
+      if (isAsciiLetter(next) || next == '=' ) return -1 // incomplete at EOF
+      if (j > i) return j
+      else throw new IllegalStateException("unreachable in start tag scan")
+    } else -1
+  }
+
+  // --- end tags ---------------------------------------------------------
+
+  private def parseEndTag(rawdata: String, i: Int): Int = {
+    var gtpos = rawdata.indexOf('>', i + 1)
+    if (gtpos < 0) return -1
+    gtpos += 1
+    val m = endTagFind.matcher(rawdata)
+    m.region(i, rawdata.length)
+    m.useTransparentBounds(true).useAnchoringBounds(false)
+    if (!m.lookingAt()) {
+      if (cdataElem != null) {
+        events.handleData(rawdata.substring(i, gtpos))
+        return gtpos
+      }
+      val nm = tagfindTolerant.matcher(rawdata)
+      nm.region(i + 2, rawdata.length)
+      nm.useTransparentBounds(true).useAnchoringBounds(false)
+      if (!nm.lookingAt()) {
+        if (rawdata.startsWith("</>", i)) return i + 3
+        return parseBogusComment(rawdata, i)
+      }
+      val tagname = nm.group(1).toLowerCase(java.util.Locale.ROOT)
+      val gt = rawdata.indexOf('>', nm.end())
+      events.handleEndTag(tagname)
+      return gt + 1
+    }
+    val elem = m.group(1).toLowerCase(java.util.Locale.ROOT)
+    if (cdataElem != null && elem != cdataElem) {
+      events.handleData(rawdata.substring(i, gtpos))
+      return gtpos
+    }
+    events.handleEndTag(elem)
+    clearCdataMode()
+    gtpos
+  }
+
+  // --- comments / declarations / PIs ------------------------------------
+
+  private def parseComment(rawdata: String, i: Int): Int = {
+    val m = commentClose.matcher(rawdata)
+    if (!m.find(i + 4)) return -1
+    events.handleComment(rawdata.substring(i + 4, m.start()))
+    m.end()
+  }
+
+  private def parsePi(rawdata: String, i: Int): Int = {
+    val gt = rawdata.indexOf('>', i + 2)
+    if (gt < 0) return -1
+    events.handlePi(rawdata.substring(i + 2, gt))
+    gt + 1
+  }
+
+  private def parseBogusComment(rawdata: String, i: Int): Int = {
+    val pos = rawdata.indexOf('>', i + 2)
+    if (pos < 0) return -1
+    events.handleComment(rawdata.substring(i + 2, pos))
+    pos + 1
+  }
+
+  private def parseHtmlDeclaration(rawdata: String, i: Int): Int = {
+    if (rawdata.startsWith("<!--", i)) parseComment(rawdata, i)
+    else if (rawdata.startsWith("<![", i)) parseMarkedSection(rawdata, i)
+    else if (rawdata.regionMatches(true, i, "<!doctype", 0, 9)) {
+      val gt = rawdata.indexOf('>', i + 9)
+      if (gt < 0) -1
+      else { events.handleDecl(rawdata.substring(i + 2, gt)); gt + 1 }
+    } else parseBogusComment(rawdata, i)
+  }
+
+  private def parseMarkedSection(rawdata: String, i: Int): Int = {
+    // _markupbase.parse_marked_section
+    val nm = declName.matcher(rawdata)
+    nm.region(i + 3, rawdata.length)
+    nm.useTransparentBounds(true).useAnchoringBounds(false)
+    if (!nm.lookingAt()) return parseBogusComment(rawdata, i) // tolerant fallback
+    val raw = nm.group()
+    if (i + 3 + raw.length >= rawdata.length) return -1
+    val sectName = Py.strip(raw).toLowerCase(java.util.Locale.ROOT)
+    val close: Pattern =
+      if (sectName == "temp" || sectName == "cdata" || sectName == "ignore" ||
+          sectName == "include" || sectName == "rcdata") markedSectionClose
+      else if (sectName == "if" || sectName == "else" || sectName == "endif")
+        msMarkedSectionClose
+      else return parseBogusComment(rawdata, i) // CPython raises; be tolerant
+    val m = close.matcher(rawdata)
+    if (!m.find(i + 3)) return -1
+    events.unknownDecl(rawdata.substring(i + 3, m.start()))
+    m.end()
+  }
+}
+
+object HtmlParser {
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private val S = Py.SpaceClass
+
+  /** `([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*` */
+  private val tagfindTolerant: Pattern = Pattern.compile(
+    "([a-zA-Z][^\\t\\n\\r\\f />\\x00]*)(?:[" + S + "]|/(?!>))*")
+
+  /** CPython attrfind_tolerant. */
+  private val attrfindTolerant: Pattern = Pattern.compile(
+    "((?<=['\"" + S + "/])[^" + S + "/>][^" + S + "/=>]*)" +
+    "([" + S + "]*=+[" + S + "]*" +
+    "('[^']*'|\"[^\"]*\"|(?!['\"])[^>" + S + "]*))?" +
+    "(?:[" + S + "]|/(?!>))*")
+
+  /** CPython locatestarttagend_tolerant. */
+  private val locateStartTagEnd: Pattern = Pattern.compile(
+    "<[a-zA-Z][^\\t\\n\\r\\f />\\x00]*" +
+    "(?:[" + S + "/]*" +
+      "(?:(?<=['\"" + S + "/])[^" + S + "/>][^" + S + "/=>]*" +
+        "(?:[" + S + "]*=+[" + S + "]*" +
+          "(?:'[^']*'" +
+          "|\"[^\"]*\"" +
+          "|(?!['\"])[^>" + S + "]*" +
+          ")" +
+          "(?:[" + S + "]*,)*" +
+        ")?(?:[" + S + "]|/(?!>))*" +
+      ")*" +
+    ")?" +
+    "[" + S + "]*")
+
+  /** `</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>` */
+  private val endTagFind: Pattern = Pattern.compile(
+    "</[" + S + "]*([a-zA-Z][-.a-zA-Z0-9:_]*)[" + S + "]*>")
+
+  private val commentClose: Pattern = Pattern.compile("--[" + S + "]*>")
+
+  /** `[a-zA-Z][-_.a-zA-Z0-9]*\s*` (_markupbase._declname_match) */
+  private val declName: Pattern = Pattern.compile(
+    "[a-zA-Z][-_.a-zA-Z0-9]*[" + S + "]*")
+
+  /** `]\s*]\s*>` */
+  private val markedSectionClose: Pattern = Pattern.compile(
+    "][" + S + "]*][" + S + "]*>")
+
+  /** `&#(?:[0-9]+|[xX][0-9a-fA-F]+)[^0-9a-fA-F]` */
+  private val charrefNum: Pattern = Pattern.compile(
+    "&#(?:[0-9]+|[xX][0-9a-fA-F]+)[^0-9a-fA-F]")
+
+  /** `&([a-zA-Z][-.a-zA-Z0-9]*)[^a-zA-Z0-9]` */
+  private val entityRef: Pattern = Pattern.compile(
+    "&([a-zA-Z][-.a-zA-Z0-9]*)[^a-zA-Z0-9]")
+
+  /** `&[a-zA-Z#]` */
+  private val incompleteEnt: Pattern = Pattern.compile("&[a-zA-Z#]")
+
+  /** `]\s*>` (MS Office marked sections) */
+  private val msMarkedSectionClose: Pattern = Pattern.compile(
+    "][" + S + "]*>")
+}
