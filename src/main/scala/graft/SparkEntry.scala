@@ -25,7 +25,9 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full KG extraction path on the reference corpus —
+    * pages -> parity DOM extract -> labeled mentions -> triples.
+    */
   def entry(spark: SparkSession): DataFrame =
     queries("kg_triples")(spark, "/root/testdata/sf0.001")
 
@@ -149,18 +151,36 @@ object SparkEntry {
         .orderBy("user_id", "sess_id")
     }),
 
-    // Placeholder flagship KG query — replaced by the real pipeline once
-    // the extract kernel lands; reads documents as a page-like corpus.
+    // Flagship KG path (S1+P1-P12+J3+triples): reference pages -> parity
+    // DOM extraction -> gold-labeled mentions -> deduplicated triples.
+    // Narrow end-to-end except the final dedup shuffle. Not SQL-
+    // expressible (driver records rows-only check).
     "kg_triples" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("lang"),
-                split(col("text"), " ").as("tokens"))
-        .select(col("doc_id"), col("source"), col("lang"),
-                explode(col("tokens")).as("obj"))
-        .filter(length(col("obj")) > 4)
-        .groupBy("source", "obj")
-        .agg(count(lit(1)).as("support"))
-        .orderBy("source", "obj")
+      import s.implicits._
+      val pages = graft.corpus.RefCorpus.pages(s)
+      val names = s.sparkContext.broadcast(graft.corpus.RefCorpus.targetNameMap())
+      val sents = graft.spark.ExtractStage.sentences(s, pages, Some(names),
+        config = graft.spark.ExtractStage.Config())
+      val mentions = graft.kg.Triples.goldMentions(s, sents)
+      graft.kg.Triples.fromMentions(s, mentions).toDF()
+        .orderBy("url", "obj")
+    }),
+
+    // The extraction kernel itself, oracle-checked: documents wrapped in
+    // a fixed HTML skeleton -> full parse+tokenize kernel -> per-doc
+    // token count and reconstructed text must equal DuckDB's whitespace
+    // split of the original text (P1-P3 end-to-end).
+    "kg_extract_parity" -> ((s, dir) => {
+      import s.implicits._
+      val pages = graft.corpus.SynthPages.fromDocuments(s, t(s, dir, "documents"))
+      val sents = graft.spark.ExtractStage.sentences(s, pages)
+      sents.filter(sr => sr.feats.nonEmpty && sr.feats.head(11) == "div.body")
+        .map(sr => (
+          sr.url.substring(sr.url.lastIndexOf('/') + 1).toLong,
+          sr.tkns.length.toLong,
+          sr.tkns.mkString(" ")))
+        .toDF("doc_id", "n_tokens", "text_rebuilt")
+        .orderBy("doc_id")
     })
   )
 
@@ -211,6 +231,11 @@ object SparkEntry {
       """SELECT MD5(text) AS content_key, MIN(doc_id) AS keeper,
         |COUNT(*) AS copies FROM documents
         |GROUP BY MD5(text) ORDER BY content_key""".stripMargin,
+    "kg_extract_parity" ->
+      """SELECT doc_id,
+        |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |text AS text_rebuilt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q6_events_session" ->
       """WITH g AS (
         |SELECT user_id, ts, event_id, value,
