@@ -1,0 +1,112 @@
+package graft.kg
+
+import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonicalization: connected components over the link graph, then
+  * per-component canonical-name election (north star: "GraphX connected
+  * components with salted keys for hot-entity skew").
+  *
+  * Skew strategy:
+  *  - CC runs on GraphX with EdgePartition2D (2-D hash partitioning
+  *    spreads a hot vertex's edges over sqrt(P) partitions — the
+  *    edge-cut analog of salting).
+  *  - the per-component alias aggregation is two-phase: a salted
+  *    partial `collect_set`/`sum` (component, salt) followed by the
+  *    final merge on component — a hot entity's aliases never funnel
+  *    through one reducer in a single step.
+  */
+object Canonicalize {
+
+  /** name -> stable 64-bit vertex id. */
+  def nameId(name: String): Long = {
+    // FNV-1a 64-bit: deterministic, cheap, collision-safe enough for
+    // vocabulary-sized vertex sets; a production run would carry the
+    // name through instead of relying on hash uniqueness.
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < name.length) {
+      h ^= name.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private val nameIdUdf = udf((s: String) => nameId(s))
+
+  /** Connected components over (name_a, name_b) pairs; returns
+    * (name, component) for every name that appears in a link.
+    */
+  def components(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import spark.implicits._
+    val edges = pairs
+      .select(nameIdUdf(col("name_a")).as("src"), nameIdUdf(col("name_b")).as("dst"))
+      .as[(Long, Long)].rdd
+      .map { case (s, d) => Edge(s, d, ()) }
+    val vertices = pairs
+      .select(explode(array(col("name_a"), col("name_b"))).as("name"))
+      .distinct()
+      .select(nameIdUdf(col("name")).as("id"), col("name"))
+
+    val graph = Graph.fromEdges(edges, defaultValue = ())
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    val cc = graph.connectedComponents(maxIter)
+    val ccDf = cc.vertices.toDF("id", "component")
+    vertices.join(ccDf, "id").select(col("name"), col("component"))
+  }
+
+  /** nodes table: one row per entity (component), canonical name =
+    * highest-support member (ties by name), aliases = all members.
+    * Singleton names (no links) become their own entities.
+    */
+  def entities(spark: SparkSession, names: DataFrame, membership: DataFrame,
+      saltBuckets: Int = 16): DataFrame = {
+    val withComp = names.join(membership, Seq("name"), "left_outer")
+      .withColumn("component",
+        coalesce(col("component"), nameIdUdf(col("name"))))
+
+    // phase 1: salted partial aggregation (hot components spread over
+    // saltBuckets reducers)
+    val salted = withComp
+      .withColumn("salt", pmod(hash(col("name")), lit(saltBuckets)))
+      .groupBy("component", "salt")
+      .agg(
+        collect_set(col("name")).as("alias_part"),
+        max(struct(col("support"), col("name"))).as("best_part"),
+        sum(col("support")).as("support_part"))
+
+    // phase 2: tiny final merge per component
+    salted.groupBy("component")
+      .agg(
+        array_sort(array_distinct(flatten(collect_list(col("alias_part")))))
+          .as("aliases"),
+        max(col("best_part")).as("best"),
+        sum(col("support_part")).as("support"))
+      .select(
+        format_string("person:%016x", col("component")).as("entity_id"),
+        col("best.name").as("canonical_name"),
+        col("aliases"),
+        lit("person").as("kind"),
+        col("support"))
+  }
+
+  /** edges table: triples with obj rewritten to the canonical entity. */
+  def canonicalEdges(spark: SparkSession, triples: Dataset[graft.spark.Triple],
+      nodes: DataFrame): DataFrame = {
+    val aliasToEntity = nodes
+      .select(col("entity_id"), col("canonical_name"),
+        explode(col("aliases")).as("obj"))
+    triples.toDF()
+      .join(broadcast(aliasToEntity), Seq("obj"), "left_outer")
+      .select(
+        col("subj"),
+        col("pred"),
+        coalesce(col("canonical_name"), col("obj")).as("obj"),
+        coalesce(col("entity_id"),
+          format_string("person:%016x", nameIdUdf(col("obj")))).as("obj_entity"),
+        col("url"), col("warc_ts"), col("confidence"))
+      .dropDuplicates("subj", "pred", "obj", "url")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.RefCorpus
+import graft.spark.{ExtractStage, Page}
+import graft.tag.Hmm
+
+/** spark-submit entry for the full KG-construction pipeline (north rule):
+  *
+  *   pages -> extract -> mentions -> triples -> link (LSH + alias dict)
+  *         -> canonicalize (CC) -> materialize nodes/edges (+ lineage)
+  *
+  * Every stage is checkpoint-resumable (see [[Stages]]). Usage:
+  *
+  *   spark-submit --class graft.kg.Main <jar> <pagesParquet|ref> <outDir>
+  *     [gold|hmm]
+  *
+  * `ref` loads the reference corpus fixture; `gold` tags mentions from
+  * carried labels (dataset-construction path), `hmm` fits an HMM on the
+  * reference valid split and decodes (inference path).
+  */
+object Main {
+
+  def run(spark: SparkSession, pagesSrc: String, outDir: String,
+      tagger: String = "gold"): DataFrame = {
+    import spark.implicits._
+    val stages = new Stages(spark, outDir)
+
+    val pages =
+      if (pagesSrc == "ref") RefCorpus.pages(spark)
+      else spark.read.parquet(pagesSrc).as[Page]
+
+    val names =
+      if (pagesSrc == "ref")
+        Some(spark.sparkContext.broadcast(RefCorpus.targetNameMap()))
+      else None
+
+    val sents = stages.stage("sentences") {
+      ExtractStage.sentences(spark, pages, names).toDF()
+    }
+
+    val mentions = stages.stage("mentions") {
+      val sd = sents.as[graft.spark.SentenceRow]
+      tagger match {
+        case "hmm" =>
+          val train = graft.io.ConllCodec.read(spark,
+            s"${RefCorpus.RefData}/valid")
+          val m0 = Hmm.fit(spark, train, timeSteps = 1, useFeatures = true)
+          val m1 = Hmm.selfTrain(spark, m0, sd)
+          Triples.taggedMentions(spark, m1, sd).toDF()
+        case _ =>
+          Triples.goldMentions(spark, sd).toDF()
+      }
+    }
+
+    val triples = stages.stage("triples") {
+      Triples.fromMentions(spark,
+        mentions.as[graft.spark.Mention]).toDF()
+    }
+
+    val links = stages.stage("links") {
+      val vocab = Linker.nameVocab(spark, triples.as[graft.spark.Triple])
+      val lsh = Linker.candidatePairs(spark, vocab, maxDistance = 0.3)
+      val exact = Linker.exactNormLinks(spark, vocab)
+      lsh.unionByName(exact).dropDuplicates("name_a", "name_b")
+    }
+
+    val nodes = stages.stage("nodes") {
+      val vocab = Linker.nameVocab(spark, triples.as[graft.spark.Triple])
+      val membership = Canonicalize.components(spark, links)
+      Canonicalize.entities(spark, vocab, membership)
+    }
+
+    val edges = stages.stage("edges") {
+      Canonicalize.canonicalEdges(spark,
+        triples.as[graft.spark.Triple], nodes)
+    }
+
+    edges
+  }
+
+  def main(args: Array[String]): Unit = {
+    val pagesSrc = if (args.length > 0) args(0) else "ref"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_kg"
+    val tagger = if (args.length > 2) args(2) else "gold"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-kg")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val edges = run(spark, pagesSrc, outDir, tagger)
+    val n = edges.count()
+    val stages = new Stages(spark, outDir)
+    val lineageRows = stages.lineage().count()
+    println(s"""{"edges":$n,"lineage_rows":$lineageRows,"out":"$outDir"}""")
+    spark.stop()
+  }
+}
