@@ -54,18 +54,54 @@ final class Tag(
     contents += t
   }
 
-  /** Preorder DFS over all descendant nodes (bs4 recursiveChildGenerator). */
-  def descendants: Iterator[BNode] = contents.iterator.flatMap {
-    case t: Tag => Iterator.single(t) ++ t.descendants
-    case s => Iterator.single(s)
+  /** Preorder DFS over all descendant nodes (bs4 recursiveChildGenerator),
+    * explicit-stack (iterator chaining is a parse-time hotspot).
+    */
+  def descendants: Iterator[BNode] = new Iterator[BNode] {
+    private val stack = new ArrayBuffer[(ArrayBuffer[BNode], Int)](8)
+    private var cur: ArrayBuffer[BNode] = contents
+    private var idx = 0
+    private def advanceOut(): Unit = {
+      while (idx >= cur.length && stack.nonEmpty) {
+        val (c, i) = stack.remove(stack.length - 1)
+        cur = c; idx = i
+      }
+    }
+    advanceOut()
+    def hasNext: Boolean = idx < cur.length
+    def next(): BNode = {
+      val node = cur(idx)
+      idx += 1
+      node match {
+        case t: Tag if t.contents.nonEmpty =>
+          stack += ((cur, idx))
+          cur = t.contents
+          idx = 0
+        case _ => advanceOut()
+      }
+      if (idx >= cur.length) advanceOut()
+      node
+    }
   }
 
   /** bs4 find_all(name): descendant Tags with the given name. */
-  def findAll(tagName: String): Vector[Tag] =
-    descendants.collect { case t: Tag if t.name == tagName => t }.toVector
+  def findAll(tagName: String): Vector[Tag] = {
+    val out = Vector.newBuilder[Tag]
+    def rec(t: Tag): Unit = t.contents.foreach {
+      case c: Tag =>
+        if (c.name == tagName) out += c
+        rec(c)
+      case _ =>
+    }
+    rec(this)
+    out.result()
+  }
 
-  /** Any Tag descendant exists (bs4 findChildren() nonempty). */
-  def hasTagChildren: Boolean = descendants.exists(_.isInstanceOf[Tag])
+  /** Any Tag descendant exists (bs4 findChildren() nonempty). A tag
+    * descendant at any depth implies a tag child, so direct children
+    * suffice.
+    */
+  def hasTagChildren: Boolean = contents.exists(_.isInstanceOf[Tag])
 
   /** bs4 extract(): detach from parent. */
   def extract(): Unit = {

@@ -163,23 +163,20 @@ final class HtmlParser(events: HtmlEvents, convertCharrefs: Boolean = true) {
     if (endpos < 0) return endpos
 
     var attrs = List.newBuilder[(String, Option[String])]
-    val tm = tagfindTolerant.matcher(rawdata)
-    tm.region(i + 1, rawdata.length)
-    tm.useTransparentBounds(true).useAnchoringBounds(false)
-    tm.lookingAt() // always matches: startTagOpen guaranteed a letter
-    var k = tm.end()
-    val tag = tm.group(1).toLowerCase(java.util.Locale.ROOT)
+    val tn = TagScanner.scanTagName(rawdata, i + 1)
+    val nameEnd = (tn >>> 32).toInt
+    var k = (tn & 0xffffffffL).toInt
+    val tag = rawdata.substring(i + 1, nameEnd).toLowerCase(java.util.Locale.ROOT)
 
+    val holder = new TagScanner.Attr
     var done = false
     while (k < endpos && !done) {
-      val m = attrfindTolerant.matcher(rawdata)
-      m.region(k, rawdata.length)
-      m.useTransparentBounds(true).useAnchoringBounds(false)
-      if (!m.lookingAt()) done = true
+      if (!TagScanner.scanAttr(rawdata, k, holder)) done = true
       else {
-        val attrname = m.group(1)
-        val rest = m.group(2)
-        var attrvalue: Option[String] = if (rest == null) None else Option(m.group(3))
+        val attrname = rawdata.substring(holder.nameStart, holder.nameEnd)
+        var attrvalue: Option[String] =
+          if (!holder.hasValue) None
+          else Some(rawdata.substring(holder.valueStart, holder.valueEnd))
         attrvalue = attrvalue.map { v =>
           if (v.length >= 2 &&
               ((v.charAt(0) == '\'' && v.charAt(v.length - 1) == '\'') ||
@@ -191,10 +188,9 @@ final class HtmlParser(events: HtmlEvents, convertCharrefs: Boolean = true) {
         // the empty string stays as-is (truthiness), None stays None.
         attrvalue = attrvalue.map(v => if (v.isEmpty) v else Entities.unescape(v))
         attrs += ((attrname.toLowerCase(java.util.Locale.ROOT), attrvalue))
-        k = m.end()
+        k = holder.end
       }
     }
-
     val end = Py.strip(rawdata.substring(k, endpos))
     if (end != ">" && end != "/>") {
       events.handleData(rawdata.substring(i, endpos))
@@ -210,22 +206,17 @@ final class HtmlParser(events: HtmlEvents, convertCharrefs: Boolean = true) {
   }
 
   private def checkForWholeStartTag(rawdata: String, i: Int): Int = {
-    val m = locateStartTagEnd.matcher(rawdata)
-    m.region(i, rawdata.length)
-    m.useTransparentBounds(true).useAnchoringBounds(false)
-    if (m.lookingAt()) {
-      val j = m.end()
-      val next = if (j < rawdata.length) rawdata.charAt(j) else ' '
-      if (j >= rawdata.length) return -1 // end of input
-      if (next == '>') return j + 1
-      if (next == '/') {
-        if (rawdata.startsWith("/>", j)) return j + 2
-        return -1 // buffer boundary (EOF)
-      }
-      if (isAsciiLetter(next) || next == '=' ) return -1 // incomplete at EOF
-      if (j > i) return j
-      else throw new IllegalStateException("unreachable in start tag scan")
-    } else -1
+    val j = TagScanner.scanStartTagEnd(rawdata, i)
+    if (j >= rawdata.length) return -1 // end of input
+    val next = rawdata.charAt(j)
+    if (next == '>') return j + 1
+    if (next == '/') {
+      if (rawdata.startsWith("/>", j)) return j + 2
+      return -1 // buffer boundary (EOF)
+    }
+    if (isAsciiLetter(next) || next == '=') return -1 // incomplete at EOF
+    if (j > i) j
+    else throw new IllegalStateException("unreachable in start tag scan")
   }
 
   // --- end tags ---------------------------------------------------------
@@ -234,27 +225,45 @@ final class HtmlParser(events: HtmlEvents, convertCharrefs: Boolean = true) {
     var gtpos = rawdata.indexOf('>', i + 1)
     if (gtpos < 0) return -1
     gtpos += 1
-    val m = endTagFind.matcher(rawdata)
-    m.region(i, rawdata.length)
-    m.useTransparentBounds(true).useAnchoringBounds(false)
-    if (!m.lookingAt()) {
+    // endtagfind: </\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*> — hand scan
+    var elemName: String = null
+    locally {
+      var k = i + 2
+      val n = rawdata.length
+      while (k < n && Py.isSpace(rawdata.charAt(k))) k += 1
+      if (k < n && TagScanner.isAsciiLetter(rawdata.charAt(k))) {
+        val ns = k
+        k += 1
+        var go = true
+        while (go && k < n) {
+          val c = rawdata.charAt(k)
+          if (TagScanner.isAsciiLetter(c) || (c >= '0' && c <= '9') ||
+              c == '-' || c == '.' || c == ':' || c == '_') k += 1
+          else go = false
+        }
+        val ne = k
+        while (k < n && Py.isSpace(rawdata.charAt(k))) k += 1
+        if (k < n && rawdata.charAt(k) == '>')
+          elemName = rawdata.substring(ns, ne)
+      }
+    }
+    if (elemName == null) {
       if (cdataElem != null) {
         events.handleData(rawdata.substring(i, gtpos))
         return gtpos
       }
-      val nm = tagfindTolerant.matcher(rawdata)
-      nm.region(i + 2, rawdata.length)
-      nm.useTransparentBounds(true).useAnchoringBounds(false)
-      if (!nm.lookingAt()) {
+      val nm = TagScanner.scanTagName(rawdata, i + 2)
+      if (nm < 0) {
         if (rawdata.startsWith("</>", i)) return i + 3
         return parseBogusComment(rawdata, i)
       }
-      val tagname = nm.group(1).toLowerCase(java.util.Locale.ROOT)
-      val gt = rawdata.indexOf('>', nm.end())
+      val tagname = rawdata.substring(i + 2, (nm >>> 32).toInt)
+        .toLowerCase(java.util.Locale.ROOT)
+      val gt = rawdata.indexOf('>', (nm & 0xffffffffL).toInt)
       events.handleEndTag(tagname)
       return gt + 1
     }
-    val elem = m.group(1).toLowerCase(java.util.Locale.ROOT)
+    val elem = elemName.toLowerCase(java.util.Locale.ROOT)
     if (cdataElem != null && elem != cdataElem) {
       events.handleData(rawdata.substring(i, gtpos))
       return gtpos
@@ -324,37 +333,6 @@ object HtmlParser {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
   private val S = Py.SpaceClass
-
-  /** `([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*` */
-  private val tagfindTolerant: Pattern = Pattern.compile(
-    "([a-zA-Z][^\\t\\n\\r\\f />\\x00]*)(?:[" + S + "]|/(?!>))*")
-
-  /** CPython attrfind_tolerant. */
-  private val attrfindTolerant: Pattern = Pattern.compile(
-    "((?<=['\"" + S + "/])[^" + S + "/>][^" + S + "/=>]*)" +
-    "([" + S + "]*=+[" + S + "]*" +
-    "('[^']*'|\"[^\"]*\"|(?!['\"])[^>" + S + "]*))?" +
-    "(?:[" + S + "]|/(?!>))*")
-
-  /** CPython locatestarttagend_tolerant. */
-  private val locateStartTagEnd: Pattern = Pattern.compile(
-    "<[a-zA-Z][^\\t\\n\\r\\f />\\x00]*" +
-    "(?:[" + S + "/]*" +
-      "(?:(?<=['\"" + S + "/])[^" + S + "/>][^" + S + "/=>]*" +
-        "(?:[" + S + "]*=+[" + S + "]*" +
-          "(?:'[^']*'" +
-          "|\"[^\"]*\"" +
-          "|(?!['\"])[^>" + S + "]*" +
-          ")" +
-          "(?:[" + S + "]*,)*" +
-        ")?(?:[" + S + "]|/(?!>))*" +
-      ")*" +
-    ")?" +
-    "[" + S + "]*")
-
-  /** `</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>` */
-  private val endTagFind: Pattern = Pattern.compile(
-    "</[" + S + "]*([a-zA-Z][-.a-zA-Z0-9:_]*)[" + S + "]*>")
 
   private val commentClose: Pattern = Pattern.compile("--[" + S + "]*>")
 

@@ -10,7 +10,8 @@ import graft.dom.{BNode, Bs4Config, Bs4TreeBuilder, Dom, Tag, TextNode, TextKind
   * features = [unaccented, exact, partial, name_log, word_log, email,
   * number, title, url, capitalized, punct, html_ctx, css_class].
   */
-final class HtmlToken(val tkn: String, val element: Tag) {
+final class HtmlToken(val tkn: String, val element: Tag,
+    ctxCache: java.util.IdentityHashMap[Tag, (String, String)] = null) {
   var bio: String = "O"
   val features: Array[String] = {
     val f = new Array[String](13)
@@ -22,8 +23,18 @@ final class HtmlToken(val tkn: String, val element: Tag) {
     f(8) = if (Extractor.isUrl(tkn)) "1" else "0"
     f(9) = if (Extractor.isCapitalized(tkn)) "1" else "0"
     f(10) = if (Extractor.isPunct(tkn)) "1" else "0"
-    f(11) = Extractor.getParent(element) + "." + Extractor.getSecondParent(element)
-    f(12) = Extractor.getClassName(element)
+    // html_ctx/css depend only on the element; cache per text node parent
+    val ctx =
+      if (ctxCache == null) null
+      else ctxCache.get(element)
+    if (ctx != null) {
+      f(11) = ctx._1
+      f(12) = ctx._2
+    } else {
+      f(11) = Extractor.getParent(element) + "." + Extractor.getSecondParent(element)
+      f(12) = Extractor.getClassName(element)
+      if (ctxCache != null) ctxCache.put(element, (f(11), f(12)))
+    }
     f
   }
 }
@@ -78,11 +89,19 @@ object Extractor {
 
   def removeAccents(tkn: String): String = {
     val text = Py.lower(Py.strip(tkn))
-    val sb = new java.lang.StringBuilder(text.length)
+    // ASCII fast path: nothing in the table is < 0x80
     var i = 0
+    var needsMap = false
+    while (i < text.length && !needsMap) {
+      if (text.charAt(i) >= 0x80) needsMap = true
+      i += 1
+    }
+    if (!needsMap) return text
+    val sb = new java.lang.StringBuilder(text.length)
+    i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      val idx = Special.indexOf(c.toInt)
+      val idx = if (c < 0x80) -1 else Special.indexOf(c.toInt)
       if (idx >= 0) sb.append(Mapped.charAt(idx)) else sb.append(c)
       i += 1
     }
@@ -96,11 +115,30 @@ object Extractor {
   private val S = Py.SpaceClass
   private val emailPattern = Pattern.compile(
     "[^" + S + "]+@[^" + S + "]+(\\.[^" + S + "]+)+")
-  def isEmail(tkn: String): Boolean = emailPattern.matcher(tkn).lookingAt()
+  /** Prefix-match of `\\S+@\\S+(\\.\\S+)+`. For whitespace-free inputs
+    * (all tokens: the tokenizer splits on \\s) this reduces to: an '@' at
+    * index >= 1 with a '.' at index >= i+2 and at least one char after
+    * it; strings containing whitespace fall back to the regex.
+    */
+  def isEmail(tkn: String): Boolean = {
+    val at = tkn.indexOf('@', 1)
+    if (at < 0) return false
+    var hasSpace = false
+    var i = 0
+    while (i < tkn.length && !hasSpace) {
+      if (Py.isSpace(tkn.charAt(i))) hasSpace = true
+      i += 1
+    }
+    if (hasSpace) return emailPattern.matcher(tkn).lookingAt()
+    val dot = tkn.indexOf('.', at + 2)
+    dot >= 0 && dot <= tkn.length - 2
+  }
 
   private val urlPattern = Pattern.compile(
     "http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*\\(\\),]|(?:%[0-9a-fA-F][0-9a-fA-F]))+")
-  def isUrl(tkn: String): Boolean = urlPattern.matcher(tkn).lookingAt()
+  // literal 'http' prefix gate
+  def isUrl(tkn: String): Boolean =
+    tkn.startsWith("http") && urlPattern.matcher(tkn).lookingAt()
 
   def isCapitalized(tkn: String): Boolean =
     tkn.length > 0 && Py.isUpperCp(tkn.codePointAt(0))
@@ -108,37 +146,55 @@ object Extractor {
   /** Honorific prefixes — `re.match` (prefix!) IGNORECASE, list order
     * (`util/html_segmenter.py:59-70`); "Dresden" matches "dr".
     */
-  private val titlePatterns: Array[Pattern] = Array(
+  private val titleAlternatives = Seq(
     "m\\.sc\\.", "sc\\.nat\\.", "rer\\.nat\\.", "sc\\.nat\\.", "md\\.",
     "b\\.sc\\.", "bs\\.sc\\.", "ph\\.d\\.", "ed\\.d\\.", "m\\.s\\.",
     "hon\\.", "a\\.d\\.", "em\\.", "apl\\.", "prof\\.", "prof\\.dr\\.",
     "conf\\.dr\\.", "asist\\.dr\\.", "dr\\.", "mr\\.", "mrs\\.",
-    "lect\\.dr\\.", "dr", "professor", "mr", "mrs", "ing\\."
-  ).map(p => Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE))
+    "lect\\.dr\\.", "dr", "professor", "mr", "mrs", "ing\\.")
 
-  def isTitle(tkn: String): Boolean =
-    titlePatterns.exists(_.matcher(tkn).lookingAt())
+  // every pattern is a literal (escaped dots), so prefix-regex IGNORECASE
+  // semantics == case-insensitive literal prefix compare
+  private val titleLiterals: Array[String] =
+    titleAlternatives.map(_.replace("\\.", ".")).toArray
+
+  def isTitle(tkn: String): Boolean = {
+    var i = 0
+    while (i < titleLiterals.length) {
+      val lit = titleLiterals(i)
+      if (tkn.length >= lit.length &&
+          tkn.regionMatches(true, 0, lit, 0, lit.length)) return true
+      i += 1
+    }
+    false
+  }
 
   // --- tokenize_text (util/html_segmenter.py:29-31) ---------------------
 
-  private val splitPattern = Pattern.compile(
-    "([" + S + "]+|[,;:\\-\"()“”；])")
-
-  /** `re.split` keeping the captured delimiter, then drop whitespace-led
-    * and empty pieces.
+  /** `re.split("(\\s+|[,;:\\-\"()“”；])")` keeping the captured
+    * delimiter, then drop whitespace-led and empty pieces — hand-rolled
+    * char scan (hot path).
     */
   def tokenizeText(text: String): Vector[String] = {
     val out = Vector.newBuilder[String]
-    val m = splitPattern.matcher(text)
-    var last = 0
-    def keep(piece: String): Unit =
-      if (piece.nonEmpty && !Py.isSpace(piece.charAt(0))) out += piece
-    while (m.find()) {
-      keep(text.substring(last, m.start()))
-      keep(m.group(1))
-      last = m.end()
+    val n = text.length
+    var i = 0
+    var start = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Py.isSpace(c)) {
+        if (i > start) out += text.substring(start, i)
+        i += 1
+        while (i < n && Py.isSpace(text.charAt(i))) i += 1
+        start = i
+      } else if (PunctChars.indexOf(c) >= 0) {
+        if (i > start) out += text.substring(start, i)
+        out += String.valueOf(c)
+        i += 1
+        start = i
+      } else i += 1
     }
-    keep(text.substring(last))
+    if (n > start) out += text.substring(start, n)
     out.result()
   }
 
@@ -224,7 +280,7 @@ object Extractor {
         case None =>
       }
       // exact match: longest window (j=5..1) of non-punct lowercased tokens
-      var j = 5
+      var j = if (gaz.exact.isEmpty) 0 else 5
       var hit = false
       while (!hit && j >= 1) {
         if (i + j < tokens.length) {
@@ -298,12 +354,13 @@ object Extractor {
 
     // iterate text nodes in document order (exact-type NavigableString)
     val tkns = new ArrayBuffer[HtmlToken]()
+    val ctxCache = new java.util.IdentityHashMap[Tag, (String, String)]()
     soup.descendants.foreach {
       case s: TextNode if s.kind == TextKind.NavigableString =>
         val content = Py.strip(s.value)
         if (content.nonEmpty)
           tokenizeText(content).foreach { t =>
-            tkns += new HtmlToken(t, s.parent)
+            tkns += new HtmlToken(t, s.parent, ctxCache)
           }
       case _ =>
     }
