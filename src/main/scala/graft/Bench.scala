@@ -49,12 +49,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "30000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "60000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
+
+    val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERY_PHASE", "1") != "0"
 
     // ---- phase 1: query suite ----
     var spark = session(cpus)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = (if (doQueries) SparkEntry.queries
+      else Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -68,10 +72,11 @@ object Bench {
     val scaling: String = if (!doScaling) "null" else {
       def measure(cores: Int, docs: Long): (Long, Double) = {
         spark = session(cores)
-        kgJob(spark, math.min(3000L, docs), cores * 3) // JIT warmup
-        val r = kgJob(spark, docs, cores * 6)
+        kgJob(spark, docs, cores * 6) // full-size JIT warmup
+        val a = kgJob(spark, docs, cores * 6)
+        val b = kgJob(spark, docs, cores * 6) // best-of-2 vs host noise
         spark.stop()
-        r
+        if (a._2 <= b._2) a else b
       }
       val levels = Seq(2, 8, 32)
       val rs = levels.map(n => n -> measure(n, scaleDocs)).toMap

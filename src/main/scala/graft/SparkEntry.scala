@@ -234,7 +234,8 @@ object SparkEntry {
     // both sides -> argmax is oracle-checkable).
     "ann_top1_dot" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      graft.ops.Similarity.bruteForceTopK(e, e, 1)
+      val probes = e.filter(col("vec_id") < 500) // bounded probe set
+      graft.ops.Similarity.bruteForceTopK(e, probes, 1)
         .select(col("query_id"), col("neighbor_id"))
         .orderBy("query_id")
     }),
@@ -243,7 +244,8 @@ object SparkEntry {
     // force asserted in OpsSpec).
     "ann_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      graft.ops.Similarity.lshTopK(s, e, e, k = 5, nBits = 6)
+      val probes = e.filter(col("vec_id") < 500)
+      graft.ops.Similarity.lshTopK(s, e, probes, k = 5, nBits = 6)
         .select("query_id", "neighbor_id", "rk")
         .orderBy("query_id", "rk")
     }),
@@ -366,6 +368,7 @@ object SparkEntry {
       """SELECT a.vec_id AS query_id,
         |ARG_MAX(b.vec_id, LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) AS neighbor_id
         |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 500
         |GROUP BY a.vec_id ORDER BY query_id""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id,
