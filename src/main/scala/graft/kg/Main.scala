@@ -27,8 +27,13 @@ object Main {
     import spark.implicits._
     val stages = new Stages(spark, outDir)
 
+    // pagesSrc: "ref" (reference corpus), "synth:N" (seeded synthetic
+    // corpus of N pages), or a parquet path
     val pages =
       if (pagesSrc == "ref") RefCorpus.pages(spark)
+      else if (pagesSrc.startsWith("synth:"))
+        graft.corpus.SyntheticCorpus.pages(spark,
+          pagesSrc.stripPrefix("synth:").toLong)
       else spark.read.parquet(pagesSrc).as[Page]
 
     val names =
@@ -36,8 +41,13 @@ object Main {
         Some(spark.sparkContext.broadcast(RefCorpus.targetNameMap()))
       else None
 
+    val namesFn =
+      if (pagesSrc.startsWith("synth:"))
+        Some(graft.corpus.SyntheticCorpus.targetNamesFn())
+      else None
+
     val sents = stages.stage("sentences") {
-      ExtractStage.sentences(spark, pages, names).toDF()
+      ExtractStage.sentences(spark, pages, names, targetNamesFn = namesFn).toDF()
     }
 
     val mentions = stages.stage("mentions") {
