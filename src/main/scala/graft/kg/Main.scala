@@ -46,11 +46,11 @@ object Main {
         Some(graft.corpus.SyntheticCorpus.targetNamesFn())
       else None
 
-    val sents = stages.stage("sentences") {
+    val sents = stages.stage("sentences", pages.count()) {
       ExtractStage.sentences(spark, pages, names, targetNamesFn = namesFn).toDF()
     }
 
-    val mentions = stages.stage("mentions") {
+    val mentions = stages.stage("mentions", sents.count()) {
       val sd = sents.as[graft.spark.SentenceRow]
       tagger match {
         case "hmm" =>
@@ -64,25 +64,25 @@ object Main {
       }
     }
 
-    val triples = stages.stage("triples") {
+    val triples = stages.stage("triples", mentions.count()) {
       Triples.fromMentions(spark,
         mentions.as[graft.spark.Mention]).toDF()
     }
 
-    val links = stages.stage("links") {
+    val links = stages.stage("links", triples.count()) {
       val vocab = Linker.nameVocab(spark, triples.as[graft.spark.Triple])
       val lsh = Linker.candidatePairs(spark, vocab, maxDistance = 0.3)
       val exact = Linker.exactNormLinks(spark, vocab)
       lsh.unionByName(exact).dropDuplicates("name_a", "name_b")
     }
 
-    val nodes = stages.stage("nodes") {
+    val nodes = stages.stage("nodes", links.count()) {
       val vocab = Linker.nameVocab(spark, triples.as[graft.spark.Triple])
       val membership = Canonicalize.components(spark, links)
       Canonicalize.entities(spark, vocab, membership)
     }
 
-    val edges = stages.stage("edges") {
+    val edges = stages.stage("edges", nodes.count()) {
       Canonicalize.canonicalEdges(spark,
         triples.as[graft.spark.Triple], nodes)
     }
