@@ -49,23 +49,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "60000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "120000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
 
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERY_PHASE", "1") != "0"
+    var spark: SparkSession = null
 
-    // ---- phase 1: query suite ----
-    var spark = session(cpus)
-    val results = (if (doQueries) SparkEntry.queries
-      else Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    spark.stop()
-
-    // ---- phase 2: scaling (same job at N and 4N parallelism) ----
+    // ---- phase 1: scaling (same job at N and 4N parallelism) ----
+    // (runs first: fresh JVM state keeps the N/4N comparison clean)
     // Two N/4N pairs: 2->8 sits in the host's linear region; 8->32 is
     // also reported but this VM's own parallel ceiling (pure-CPU python
     // calibration: ~0.67 efficiency for 8->32) bounds any workload there.
@@ -73,13 +64,14 @@ object Bench {
       def measure(cores: Int, docs: Long): (Long, Double) = {
         spark = session(cores)
         kgJob(spark, docs, cores * 6) // full-size JIT warmup
-        val a = kgJob(spark, docs, cores * 6)
-        val b = kgJob(spark, docs, cores * 6) // best-of-2 vs host noise
+        // best-of-3 vs host noise
+        val r = (1 to 3).map(_ => kgJob(spark, docs, cores * 6)).minBy(_._2)
         spark.stop()
-        if (a._2 <= b._2) a else b
+        r
       }
       val levels = Seq(2, 8, 32)
-      val rs = levels.map(n => n -> measure(n, scaleDocs)).toMap
+      // measure hottest level first so JIT steady-state is uniform
+      val rs = levels.reverse.map(n => n -> measure(n, scaleDocs)).toMap
       val tps = levels.map(n => n -> rs(n)._1 / rs(n)._2).toMap
       val eff28 = (tps(8) / tps(2)) / 4.0
       val eff832 = (tps(32) / tps(8)) / 4.0
@@ -90,6 +82,17 @@ object Bench {
         f""","n_low":2,"n_high":8,"tps_low":${tps(2)}%.1f,"tps_high":${tps(8)}%.1f,""" +
         f""""efficiency":$eff28%.3f,"efficiency_8_32":$eff832%.3f}"""
     }
+
+    // ---- phase 2: query suite ----
+    spark = session(cpus)
+    val results = (if (doQueries) SparkEntry.queries
+      else Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      .map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -105,22 +105,34 @@ object Dedup {
   // --- embedding-cosine near-dup -----------------------------------------
 
   /** Near-duplicate pairs by embedding cosine: SRP-LSH buckets bound the
-    * candidate set (plus one rotated variant for recall), cosine computed
-    * with codegen zip_with/aggregate, threshold-verified.
+    * candidate set; norms precomputed per row; in-bucket verification is
+    * bounded by `maxBucket` (clustered corpora can drop most vectors
+    * into a handful of buckets — a production run splits hot buckets
+    * with more bits / multiprobe instead of going quadratic).
     */
   def embeddingCosinePairs(spark: SparkSession, embeddings: DataFrame,
-      minCosine: Double, nBits: Int = 6): DataFrame = {
+      minCosine: Double, nBits: Int = 6, maxBucket: Int = 500): DataFrame = {
     import org.apache.spark.sql.functions.udf
     val sigUdf = udf((v: Seq[Float]) => Similarity.srpSignature(v, nBits))
     val b = embeddings.select(col("vec_id").cast("long").as("id"),
         col("embedding"))
       .withColumn("bucket", sigUdf(col("embedding")))
-    val pairs = b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        graft.ops.Similarity.cosineCol(
-          col("x.embedding"), col("y.embedding")).as("cosine"))
-    pairs.filter(col("cosine") >= minCosine)
+      .withColumn("norm", Similarity.normCol(col("embedding")))
+    val buckets = b.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("embedding"), col("norm")))
+        .as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets.select(explode(expr(
+      """flatten(transform(members, (m, i) ->
+        |  transform(slice(members, i + 2, size(members) - i - 1), o ->
+        |    struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
+        |      aggregate(zip_with(m.embedding, o.embedding,
+        |        (x, y) -> cast(x as double) * cast(y as double)),
+        |        cast(0.0 as double), (acc, v) -> acc + v)
+        |        / (m.norm * o.norm) as cosine))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("cosine") >= minCosine)
   }
 
   // --- SimHash ------------------------------------------------------------
