@@ -48,7 +48,7 @@ object RefCorpus {
     content.split("\n", -1)
       .dropRight(if (content.endsWith("\n")) 1 else 0)
       .toSeq
-      .map(l => Py.strip(Extractor.tokenizeText(Py.strip(l)).mkString(" ")))
+      .map(Extractor.normalizeTargetName)
   }
 
   /** pages Dataset for a set of doc ids (default: all 145). */

@@ -122,8 +122,6 @@ object SyntheticCorpus {
   def targetNamesFn(namesPerPage: Int = 25, seed: Long = 42L,
       hotEvery: Int = 5): String => Seq[String] = { url =>
     namesOf(idOfUrl(url), namesPerPage, seed, hotEvery)
-      .map(n => graft.extract.Py.strip(
-        graft.extract.Extractor.tokenizeText(graft.extract.Py.strip(n))
-          .mkString(" ")))
+      .map(graft.extract.Extractor.normalizeTargetName)
   }
 }

@@ -86,7 +86,8 @@ final class HtmlParser(events: HtmlEvents, convertCharrefs: Boolean = true) {
               k = rawdata.indexOf('<', i + 1)
               if (k < 0) k = i + 1
             } else k += 1
-            if (cdataElem == null)
+            // CPython gates the recovery unescape on convert_charrefs too
+            if (cdataElem == null && convertCharrefs)
               events.handleData(Entities.unescape(rawdata.substring(i, k)))
             else events.handleData(rawdata.substring(i, k))
           }

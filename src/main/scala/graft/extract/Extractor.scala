@@ -61,6 +61,10 @@ object Gazetteers {
       val joined = toks.map(Py.lower).mkString(" ")
       exact(joined) = exact.getOrElse(joined, 0) + 1
     }
+    // NOTE conscious deviation: models/tokenizer.py:351-357 splits raw
+    // file lines so each line's LAST word keeps its trailing newline and
+    // can never match a token. We split clean words; callers wanting the
+    // reference quirk must pass lines with their newlines intact.
     val word = scala.collection.mutable.Map[String, Int]()
     words.foreach { line =>
       line.split(" ", -1).foreach { w =>
@@ -197,6 +201,13 @@ object Extractor {
     if (n > start) out += text.substring(start, n)
     out.result()
   }
+
+  /** Reference-CLI target-name normalization
+    * (`util/html_segmenter.py:322-328`): strip, tokenize, join with
+    * single spaces, strip again. Shared by every corpus loader.
+    */
+  def normalizeTargetName(line: String): String =
+    Py.strip(tokenizeText(Py.strip(line)).mkString(" "))
 
   // --- DOM-context features (util/html_segmenter.py:72-99) --------------
 

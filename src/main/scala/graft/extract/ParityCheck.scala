@@ -17,27 +17,13 @@ object GoldenData {
   def parseSplit(path: String): Vector[GoldenDoc] = {
     val content = new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8)
-    val blocks = content.strip().split("\n\n", -1)
-    val docs = Vector.newBuilder[GoldenDoc]
-    var id = -1
-    var url = ""
-    var lines = Vector.newBuilder[String]
-    var open = false
-    blocks.foreach { b =>
-      if (b.startsWith("-DOCSTART-")) {
-        if (open) docs += GoldenDoc(id, url, lines.result().dropRight(1))
-        val parts = b.split(" ", 3)
-        id = parts(1).stripPrefix("(").stripSuffix(")").toInt
-        url = if (parts.length > 2) parts(2) else ""
-        lines = Vector.newBuilder[String]
-        open = true
-      } else {
-        b.split("\n", -1).foreach(l => lines += l)
-        lines += "" // sentence separator
-      }
+    graft.io.ConllCodec.parseDocs(content).map { case (id, url, sents) =>
+      val lines = sents.iterator.zipWithIndex.flatMap { case (sent, i) =>
+        val ls = sent.iterator.map(_.mkString(" "))
+        if (i < sents.length - 1) ls ++ Iterator("") else ls
+      }.toVector
+      GoldenDoc(id, url, lines)
     }
-    if (open) docs += GoldenDoc(id, url, lines.result().dropRight(1))
-    docs.result()
   }
 
   def readHtml(id: Int): String = {
@@ -56,7 +42,7 @@ object GoldenData {
     // python: for name in f -> lines keep structure; strip, tokenize, join
     content.split("\n", -1).dropRight(if (content.endsWith("\n")) 1 else 0)
       .toVector
-      .map(l => Py.strip(Extractor.tokenizeText(Py.strip(l)).mkString(" ")))
+      .map(Extractor.normalizeTargetName)
   }
 
   /** Run our extractor on one reference doc, CoNLL lines (with "" between

@@ -33,7 +33,9 @@ object ConllCodec {
         url = if (parts.length > 2) parts(2) else ""
         sents = Vector.newBuilder
         open = true
-      } else {
+      } else if (b.nonEmpty) {
+        // headerless CoNLL (no -DOCSTART-) becomes one implicit doc
+        open = true
         sents += b.split("\n", -1).toVector.map(_.split(" ", -1))
       }
     }

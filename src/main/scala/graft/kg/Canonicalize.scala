@@ -19,20 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Canonicalize {
 
-  /** name -> stable 64-bit vertex id. */
-  def nameId(name: String): Long = {
-    // FNV-1a 64-bit: deterministic, cheap, collision-safe enough for
-    // vocabulary-sized vertex sets; a production run would carry the
-    // name through instead of relying on hash uniqueness.
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < name.length) {
-      h ^= name.charAt(i)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
+  /** name -> stable 64-bit vertex id (shared FNV-1a over UTF-8 bytes,
+    * consistent with the fnv1a64 SQL fingerprint). Collision-safe enough
+    * for vocabulary-sized vertex sets; a production run would carry the
+    * name through instead of relying on hash uniqueness.
+    */
+  def nameId(name: String): Long = graft.functions.Fnv1a64.hashString(name)
 
   private val nameIdUdf = udf((s: String) => nameId(s))
 

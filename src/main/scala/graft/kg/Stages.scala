@@ -1,6 +1,6 @@
 package graft.kg
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   */
 final class Stages(spark: SparkSession, base: String) {
 
-  private def successExists(dir: String): Boolean =
-    Files.exists(Paths.get(dir.stripPrefix("file:"), "_SUCCESS"))
+  private def successExists(dir: String): Boolean = {
+    // Hadoop FS so hdfs://, s3a:// etc. resume correctly
+    val p = new Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   def lineagePath: String = s"$base/_lineage"
 

@@ -38,8 +38,14 @@ object IncrementalIngest {
         val mentions = ExtractStage.mentions(spark, pages,
           targetNamesFn = targetNamesFn, model = bModel,
           dedupePerPage = true)
+        // idempotent under foreachBatch's at-least-once replay: each
+        // micro-batch overwrites its own batch_id partition, so a retry
+        // after a partial write cannot duplicate triples. Re-crawled
+        // urls across batches are deduped downstream (the batch
+        // pipeline's global dropDuplicates over the sink).
         Triples.fromMentions(spark, mentions, alreadyDeduped = true)
-          .write.mode("append").parquet(triplesDir)
+          .write.mode("overwrite")
+          .parquet(s"$triplesDir/batch_id=$batchId")
         ()
       }
       .start()

@@ -77,7 +77,8 @@ object Hmm {
       s.feats.indices.iterator.flatMap { i =>
         val f = s.feats(i)
         val y = ys(i)
-        en.iterator.map(k => (k, y, f(k)))
+        // reference: key = f[k] if k < len(f) else '' (models/hmm.py:92-94)
+        en.iterator.map(k => (k, y, if (k < f.length) f(k) else ""))
       }
     }.toDF("k", "y", "value")
       .groupBy("k", "y", "value").count()
@@ -100,13 +101,12 @@ object Hmm {
     val tables = Array.tabulate(NumAll, NumLabels) { (k, y) =>
       carryOver.map(_(k)(y)).getOrElse(Map("$UNK" -> 1.0))
     }
-    // raw counts per (k,y): $UNK seed 1 + observed
-    val raw = Array.tabulate(NumAll, NumLabels) { (k, y) =>
-      val m = mutable.Map[String, Double]("$UNK" -> 1.0)
-      counts.foreach { case ((ck, cy, v), c) =>
-        if (ck == k && cy == y) m(v) = m.getOrElse(v, 0.0) + c
-      }
-      m
+    // raw counts per (k,y): $UNK seed 1 + observed (single pass)
+    val raw = Array.fill(NumAll, NumLabels)(
+      mutable.Map[String, Double]("$UNK" -> 1.0))
+    counts.foreach { case ((k, y, v), c) =>
+      val m = raw(k)(y)
+      m(v) = m.getOrElse(v, 0.0) + c
     }
     for (k <- 0 until NumAll if enabled(k)) {
       // consolidated vocab across labels
