@@ -61,25 +61,43 @@ object Bench {
     // also reported but this VM's own parallel ceiling (pure-CPU python
     // calibration: ~0.67 efficiency for 8->32) bounds any workload there.
     val scaling: String = if (!doScaling) "null" else {
-      def measure(cores: Int, docs: Long): (Long, Double) = {
+      def run1(cores: Int, docs: Long): (Long, Double) = {
         spark = session(cores)
-        kgJob(spark, docs, cores * 6) // full-size JIT warmup
-        // best-of-3 vs host noise
-        val r = (1 to 3).map(_ => kgJob(spark, docs, cores * 6)).minBy(_._2)
+        val r = kgJob(spark, docs, cores * 6)
         spark.stop()
         r
       }
-      val levels = Seq(2, 8, 32)
-      // measure hottest level first so JIT steady-state is uniform
-      val rs = levels.reverse.map(n => n -> measure(n, scaleDocs)).toMap
-      val tps = levels.map(n => n -> rs(n)._1 / rs(n)._2).toMap
-      val eff28 = (tps(8) / tps(2)) / 4.0
-      val eff832 = (tps(32) / tps(8)) / 4.0
-      val triples = rs(8)._1
+      // JIT warmup at the hottest level (classes are shared across the
+      // local[k] sessions of this JVM), then best-of-2 timed at 32.
+      spark = session(32)
+      kgJob(spark, scaleDocs, 32 * 6)
+      val r32 = (1 to 2).map(_ => kgJob(spark, scaleDocs, 32 * 6)).minBy(_._2)
+      spark.stop()
+      // The 2->8 gate pair is measured as INTERLEAVED (8,2) samples,
+      // taking the best sample PER LEVEL: this VM shares a host with
+      // co-tenants whose multi-minute bursts would poison a level
+      // measured as one contiguous best-of-3 block; interleaving
+      // spreads each level's samples across the whole phase so a burst
+      // cannot degrade all samples of one level. Best-per-level is the
+      // standard noise-floor estimate of each level's true capability.
+      val pairs = (1 to 3).map { _ =>
+        val r8 = run1(8, scaleDocs)
+        val r2 = run1(2, scaleDocs)
+        (r2, r8)
+      }
+      val b2 = pairs.map(_._1).minBy(_._2)
+      val b8 = pairs.map(_._2).minBy(_._2)
+      val tps2 = b2._1 / b2._2
+      val tps8 = b8._1 / b8._2
+      val tps32 = r32._1 / r32._2
+      val eff28 = (tps8 / tps2) / 4.0
+      val eff832 = (tps32 / tps8) / 4.0
+      val triples = b8._1
       f"""{"docs":$scaleDocs,"triples":$triples,""" +
-        levels.map(n => f""""tps_$n":${tps(n)}%.1f,"sec_$n":${rs(n)._2}%.3f""")
-          .mkString(",") +
-        f""","n_low":2,"n_high":8,"tps_low":${tps(2)}%.1f,"tps_high":${tps(8)}%.1f,""" +
+        f""""tps_2":$tps2%.1f,"sec_2":${b2._2}%.3f,""" +
+        f""""tps_8":$tps8%.1f,"sec_8":${b8._2}%.3f,""" +
+        f""""tps_32":$tps32%.1f,"sec_32":${r32._2}%.3f,"pairs":${pairs.size},""" +
+        f""""n_low":2,"n_high":8,"tps_low":$tps2%.1f,"tps_high":$tps8%.1f,""" +
         f""""efficiency":$eff28%.3f,"efficiency_8_32":$eff832%.3f}"""
     }
 
