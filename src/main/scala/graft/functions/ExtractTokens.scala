@@ -68,6 +68,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.extractTokensDescriptor)
     e.injectFunction(GraftExtensions.fnv1a64Descriptor)
+    e.injectFunction(GraftExtensions.dotF32Descriptor)
   }
 }
 
@@ -85,11 +86,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
     (exprs: Seq[Expression]) => Fnv1a64(exprs.head))
 
+  val dotF32Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_f32"),
+    new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+    (exprs: Seq[Expression]) => DotF32(exprs.head, exprs(1)))
+
   /** Imperative registration for an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "extract_tokens", exprs => ExtractTokens(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv1a64", exprs => Fnv1a64(exprs.head), "built-in")
+    GraftFunctions.register(spark)
   }
 }

@@ -50,12 +50,21 @@ object Fnv1a64 {
   * private[sql] in Spark 4).
   */
 object GraftFunctions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv1a64", exprs => Fnv1a64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f32", exprs => DotF32(exprs.head, exprs(1)), "built-in")
+  }
 
   def fnv1a64(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("fnv1a64", c)
+  }
+
+  def dotF32(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("dot_f32", a, b)
   }
 }

@@ -122,13 +122,12 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("embedding"), col("norm")))
         .as("members"))
       .filter(size(col("members")).between(2, maxBucket))
+    graft.functions.GraftFunctions.register(spark)
     buckets.select(explode(expr(
       """flatten(transform(members, (m, i) ->
         |  transform(slice(members, i + 2, size(members) - i - 1), o ->
         |    struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
-        |      aggregate(zip_with(m.embedding, o.embedding,
-        |        (x, y) -> cast(x as double) * cast(y as double)),
-        |        cast(0.0 as double), (acc, v) -> acc + v)
+        |      dot_f32(m.embedding, o.embedding)
         |        / (m.norm * o.norm) as cosine))))""".stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
       .dropDuplicates("id_a", "id_b")

@@ -17,17 +17,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two float arrays as double, left-to-right (codegen
-    * higher-order functions, no UDF).
+  /** Dot product of two float arrays as double, left-to-right — the
+    * native codegen'd `graft.functions.DotF32` expression (a primitive
+    * loop in the generated code; the higher-order-function
+    * `aggregate(zip_with(...))` formulation allocates a boxed array
+    * per pair and is ~7x slower on the brute-force join).
     */
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dotCol(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    call_function("dot_f32", a, b)
+  }
 
-  def normCol(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
@@ -54,15 +55,28 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble)
   }
 
+  /** Hyperplane matrix for (nBits, dim), memoized per executor — the
+    * components are FNV hashes, far too slow to recompute per row.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private def planes(nBits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nBits, dim), { case (b, d) =>
+      Array.tabulate(b, d)(planeComponent)
+    })
+
   /** Signed-random-projection bucket id (nBits-bit signature). */
   def srpSignature(vec: Seq[Float], nBits: Int): Int = {
+    val v = vec.toArray
+    val pl = planes(nBits, v.length)
     var sig = 0
     var b = 0
     while (b < nBits) {
+      val row = pl(b)
       var s = 0.0
       var d = 0
-      while (d < vec.length) {
-        s += vec(d) * planeComponent(b, d)
+      while (d < v.length) {
+        s += v(d) * row(d)
         d += 1
       }
       if (s > 0) sig |= (1 << b)

@@ -38,4 +38,36 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val got = spark.sql("SELECT fnv1a64('graft')").collect().head.getLong(0)
     assert(got == Fnv1a64.hashString("graft"))
   }
+
+  test("dot_f32 matches the zip_with/aggregate formulation bit-for-bit") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // irrational-ish values so summation order matters at the ULP level
+    val rows = (0 until 50).map { i =>
+      val a = Array.tabulate(64)(d => (math.sin(i * 131 + d) * 3.7).toFloat)
+      val b = Array.tabulate(64)(d => (math.cos(i * 17 + d) * 2.3).toFloat)
+      (i, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.selectExpr("id", "dot_f32(a, b) AS d").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val ref = df.selectExpr("id",
+      """aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)),
+        |cast(0.0 as double), (acc, v) -> acc + v) AS d""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, _, _) =>
+      assert(java.lang.Double.doubleToLongBits(got(i)) ==
+        java.lang.Double.doubleToLongBits(ref(i)), s"row $i")
+    }
+  }
+
+  test("dot_f32 rejects length mismatch and propagates null") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    intercept[Exception] { df.selectExpr("dot_f32(a, b)").collect() }
+    val n = Seq((Some(Array(1f)), Option.empty[Array[Float]]))
+      .toDF("a", "b").selectExpr("dot_f32(a, b) AS d").collect().head
+    assert(n.isNullAt(0))
+  }
 }
