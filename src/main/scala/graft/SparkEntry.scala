@@ -207,11 +207,16 @@ object SparkEntry {
     // the hash: distinct fingerprints == distinct texts.
     "doc_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      // Distinct-text is counted over a 128-bit md5 digest rather than
+      // the raw text, so the multi-distinct Expand shuffles 16 bytes
+      // per row instead of whole documents (md5 collisions are not a
+      // practical concern below ~2^60 docs; equal texts always digest
+      // equally, so the count can only be exact).
       d.select(graft.ops.TextAnalysis.fingerprint(s, col("text")).as("fp"),
-          col("text"))
+          md5(col("text")).as("text_digest"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fp")).as("n_distinct_fp"),
-          countDistinct(col("text")).as("n_distinct_text"))
+          countDistinct(col("text_digest")).as("n_distinct_text"))
     }),
 
     // Language-ID heuristic (marker-word argmax), oracle-checked.

@@ -70,33 +70,44 @@ object Dedup {
       minJaccard: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
     val k = bands * rows
-    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+    // Texts never enter the band shuffle: the banded stream is
+    // (id, band, bandkey) — 3 numeric columns — so the LSH exchange
+    // moves ~24 bytes x bands per document instead of `bands` full
+    // copies of every text (the difference between a bounded shuffle
+    // and re-shuffling the corpus 16x at 100 TB).
+    val sigs = base.as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        (id, text, minhashSignature(shingleHashes(text, w), k))
+        (id, minhashSignature(shingleHashes(text, w), k))
       })
-      .toDF("id", "text", "sig")
+      .toDF("id", "sig")
 
-    val banded = sigs.select(col("id"), col("text"),
+    val banded = sigs.select(col("id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> hash(slice(sig, b * $rows + 1, $rows)))")))
-      .toDF("id", "text", "band", "bandkey")
+      .toDF("id", "band", "bandkey")
 
     val buckets = banded
       .groupBy("band", "bandkey")
-      .agg(collect_list(struct(col("id"), col("text"))).as("members"))
+      .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
 
-    val pairs = buckets.select(explode(expr(
+    val candidates = buckets.select(explode(expr(
       """flatten(transform(members, (m, i) ->
         |  transform(slice(members, i + 2, size(members) - i - 1), o ->
-        |    struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
-        |           m.text as text_a, o.text as text_b))))""".stripMargin))
+        |    struct(least(m, o) as id_a, greatest(m, o) as id_b))))""".stripMargin))
       .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.text_a"), col("p.text_b"))
+      .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    pairs
+    // Jaccard-verify by joining the candidate ids back to the texts:
+    // near-dup candidates are a vanishing fraction of the corpus, so
+    // these are two hash joins on an 8-byte key (AQE broadcasts the
+    // candidate side when it is small enough).
+    candidates
+      .join(base.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard", jaccard(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
