@@ -129,12 +129,12 @@ final class HtmlParser(events: HtmlEvents, convertCharrefs: Boolean = true) {
         var k = m.end()
         if (rawdata.charAt(k - 1) != ';') k -= 1
         k
-      } else if (i + 2 == n && incompleteEnt.matcher(rawdata.substring(i)).lookingAt()) {
+      } else if (i + 2 == n && incompleteEntAt(rawdata, i)) {
         // exactly "&X" at EOF: CPython advances past '&' before the close()
         // tail emit, so the '&' is dropped
         events.handleData(rawdata.substring(i + 1))
         n
-      } else if (i + 1 < n && incompleteEnt.matcher(rawdata.substring(i)).lookingAt()) {
+      } else if (i + 1 < n && incompleteEntAt(rawdata, i)) {
         // incomplete entity not at EOF boundary: close() re-emits raw tail
         events.handleData(rawdata.substring(i))
         n
@@ -147,9 +147,12 @@ final class HtmlParser(events: HtmlEvents, convertCharrefs: Boolean = true) {
 
   private def setCdataMode(elem: String): Unit = {
     cdataElem = elem.toLowerCase(java.util.Locale.ROOT)
-    interestingCdata = Pattern.compile(
-      "</[" + Py.SpaceClass + "]*" + Pattern.quote(cdataElem),
-      Pattern.CASE_INSENSITIVE)
+    // memoized: real pages contain many <script>/<style> elements and
+    // compiling a Pattern per element dominates rawtext handling
+    interestingCdata = HtmlParser.cdataPatternCache.computeIfAbsent(cdataElem,
+      e => Pattern.compile(
+        "</[" + Py.SpaceClass + "]*" + Pattern.quote(e),
+        Pattern.CASE_INSENSITIVE))
   }
 
   private def clearCdataMode(): Unit = { cdataElem = null; interestingCdata = null }
@@ -353,8 +356,18 @@ object HtmlParser {
   private val entityRef: Pattern = Pattern.compile(
     "&([a-zA-Z][-.a-zA-Z0-9]*)[^a-zA-Z0-9]")
 
-  /** `&[a-zA-Z#]` */
-  private val incompleteEnt: Pattern = Pattern.compile("&[a-zA-Z#]")
+  /** `&[a-zA-Z#]` as direct char tests (was a regex `lookingAt` over a
+    * substring copy of the whole remaining input).
+    */
+  private def incompleteEntAt(s: String, i: Int): Boolean =
+    i + 1 < s.length && s.charAt(i) == '&' && {
+      val c = s.charAt(i + 1)
+      isAsciiLetter(c) || c == '#'
+    }
+
+  /** Per-rawtext-element close patterns, compiled once per element name. */
+  private val cdataPatternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
 
   /** `]\s*>` (MS Office marked sections) */
   private val msMarkedSectionClose: Pattern = Pattern.compile(
