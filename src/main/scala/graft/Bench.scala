@@ -30,21 +30,8 @@ object Bench {
     s
   }
 
-  /** The scaling job: full extract+label+triples over `docs` synthetic
-    * pages; returns (triples, seconds).
-    */
-  private def kgJob(spark: SparkSession, docs: Long, partitions: Int): (Long, Double) = {
-    val pages = graft.corpus.SyntheticCorpus.pages(spark, docs,
-      numPartitions = partitions)
-    val mentions = graft.spark.ExtractStage.mentions(spark, pages,
-      targetNamesFn = Some(graft.corpus.SyntheticCorpus.targetNamesFn()),
-      dedupePerPage = true)
-    val triples = graft.kg.Triples.fromMentions(spark, mentions,
-      alreadyDeduped = true)
-    val t0 = System.nanoTime()
-    val n = triples.count()
-    (n, (System.nanoTime() - t0) / 1e9)
-  }
+  private def kgJob(spark: SparkSession, docs: Long, partitions: Int): (Long, Double) =
+    ScalingJob.run(spark, docs, partitions)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

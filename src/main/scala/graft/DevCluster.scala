@@ -23,18 +23,8 @@ object DevCluster {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def job(n: Long): (Long, Double) = {
-      val pages = graft.corpus.SyntheticCorpus.pages(spark, n,
-        numPartitions = workers * coresPer * 6)
-      val mentions = graft.spark.ExtractStage.mentions(spark, pages,
-        targetNamesFn = Some(graft.corpus.SyntheticCorpus.targetNamesFn()),
-        dedupePerPage = true)
-      val triples = graft.kg.Triples.fromMentions(spark, mentions,
-        alreadyDeduped = true)
-      val t0 = System.nanoTime()
-      val c = triples.count()
-      (c, (System.nanoTime() - t0) / 1e9)
-    }
+    def job(n: Long): (Long, Double) =
+      ScalingJob.run(spark, n, partitions = workers * coresPer * 6)
     job(docs) // warmup
     val runs = (1 to 3).map(_ => job(docs))
     val best = runs.minBy(_._2)

@@ -213,7 +213,7 @@ object SparkEntry {
       // practical concern below ~2^60 docs; equal texts always digest
       // equally, so the count can only be exact).
       d.select(graft.ops.TextAnalysis.fingerprint(s, col("text")).as("fp"),
-          md5(col("text")).as("text_digest"))
+          unhex(md5(col("text"))).as("text_digest"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fp")).as("n_distinct_fp"),
           countDistinct(col("text_digest")).as("n_distinct_text"))

@@ -89,7 +89,9 @@ object GraftExtensions {
   val dotF32Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_f32"),
     new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
-    (exprs: Seq[Expression]) => DotF32(exprs.head, exprs(1)))
+    (exprs: Seq[Expression]) => {
+      GraftFunctions.arity("dot_f32", 2)(exprs); DotF32(exprs.head, exprs(1))
+    })
 
   /** Imperative registration for an existing session. */
   def register(spark: SparkSession): Unit = {

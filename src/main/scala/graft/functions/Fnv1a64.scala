@@ -50,11 +50,18 @@ object Fnv1a64 {
   * private[sql] in Spark 4).
   */
 object GraftFunctions {
+  private[functions] def arity(name: String, n: Int)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    require(exprs.length == n,
+      s"$name requires exactly $n argument(s), got ${exprs.length}")
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv1a64", exprs => Fnv1a64(exprs.head), "built-in")
+      "fnv1a64", { exprs => arity("fnv1a64", 1)(exprs); Fnv1a64(exprs.head) },
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f32", exprs => DotF32(exprs.head, exprs(1)), "built-in")
+      "dot_f32", { exprs => arity("dot_f32", 2)(exprs); DotF32(exprs.head, exprs(1)) },
+      "built-in")
   }
 
   def fnv1a64(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {

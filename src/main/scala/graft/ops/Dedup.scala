@@ -108,6 +108,10 @@ object Dedup {
     candidates
       .join(base.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      // duplicate ids in `docs` would fan a candidate pair out to one
+      // row per (text_a, text_b) combination; keep one representative
+      // per id pair like the pre-join formulation did
+      .dropDuplicates("id_a", "id_b")
       .withColumn("jaccard", jaccard(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")

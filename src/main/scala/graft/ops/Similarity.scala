@@ -22,11 +22,25 @@ object Similarity {
     * loop in the generated code; the higher-order-function
     * `aggregate(zip_with(...))` formulation allocates a boxed array
     * per pair and is ~7x slower on the brute-force join).
+    *
+    * Column construction is session-free, but `call_function` resolves
+    * through the session function registry, so the expression is
+    * registered on the active session here and on the input frames'
+    * own sessions in [[bruteForceTopK]]/[[lshTopK]] (they may differ
+    * in multi-session apps). With no session at all this falls back to
+    * the pure-Column higher-order-function formulation, which is
+    * semantically identical.
     */
-  def dotCol(a: Column, b: Column): Column = {
-    graft.functions.GraftFunctions.register(SparkSession.active)
-    call_function("dot_f32", a, b)
-  }
+  def dotCol(a: Column, b: Column): Column =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        graft.functions.GraftFunctions.register(s)
+        call_function("dot_f32", a, b)
+      case None =>
+        aggregate(
+          zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+    }
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
@@ -36,6 +50,7 @@ object Similarity {
   /** Brute-force top-k by dot product: corpus x broadcast(probes). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       metric: (Column, Column) => Column = dotCol): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val joined = corpus.as("c")
       .join(broadcast(probes.as("p")),
         col("c.vec_id") =!= col("p.vec_id"))
@@ -92,6 +107,7 @@ object Similarity {
   def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       k: Int, nBits: Int = 8): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val sigUdf = udf((v: Seq[Float]) => srpSignature(v, nBits))
     val cb = corpus.withColumn("bucket", sigUdf(col("embedding")))
     val pb = probes.withColumn("bucket", sigUdf(col("embedding")))

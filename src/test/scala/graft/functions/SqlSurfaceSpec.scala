@@ -70,4 +70,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .toDF("a", "b").selectExpr("dot_f32(a, b) AS d").collect().head
     assert(n.isNullAt(0))
   }
+
+  test("dot_f32 null elements poison like zip_with; double arrays accepted") {
+    GraftExtensions.register(spark)
+    // null element anywhere -> NULL (the zip_with formulation's semantics)
+    val withNullElem = spark.sql(
+      "SELECT dot_f32(array(1.0F, CAST(NULL AS FLOAT)), array(2.0F, 3.0F)) AS d")
+      .collect().head
+    assert(withNullElem.isNullAt(0))
+    // ARRAY<DOUBLE> inputs (and mixed float/double) compute correctly
+    val dd = spark.sql(
+      "SELECT dot_f32(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(dd == 11.0)
+    val fd = spark.sql(
+      "SELECT dot_f32(array(1.0F, 2.0F), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(fd == 11.0)
+    // wrong arity is a clean error, not IndexOutOfBounds
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_f32(array(1.0F))").collect()
+    }
+    assert(e.getMessage.contains("dot_f32"))
+  }
 }
