@@ -166,6 +166,19 @@ object SparkEntry {
         .orderBy("url", "obj")
     }),
 
+    // Surface-pattern relation candidates (hasTitle/hasEmail) on the
+    // reference corpus (rows-only; pattern semantics asserted in
+    // RelationsSpec on crafted DOMs).
+    "kg_relations" -> ((s, dir) => {
+      import s.implicits._
+      val pages = graft.corpus.RefCorpus.pages(s)
+      val names = s.sparkContext.broadcast(graft.corpus.RefCorpus.targetNameMap())
+      val sents = graft.spark.ExtractStage.sentences(s, pages, Some(names),
+        config = graft.spark.ExtractStage.Config())
+      graft.kg.Relations.goldRelations(s, sents).toDF()
+        .orderBy("url", "subj", "pred", "obj")
+    }),
+
     // Dedup: word-set Jaccard on consecutive-doc candidate pairs
     // (oracle-checked); the shape of the n-gram-Jaccard verify stage.
     "dedup_jaccard_pairs" -> ((s, dir) => {

@@ -101,4 +101,25 @@ object Canonicalize {
         col("url"), col("warc_ts"), col("confidence"))
       .dropDuplicates("subj", "pred", "obj", "url")
   }
+
+  /** Canonicalize relation triples whose SUBJECT is an entity name
+    * (hasTitle/hasEmail from [[Relations]]): map subj through the
+    * broadcast alias table; obj stays a literal (title token, email
+    * address), id-tagged by predicate so edges keep a uniform
+    * (subj, pred, obj, obj_entity, url, warc_ts, confidence) schema.
+    */
+  def canonicalSubjectEdges(spark: SparkSession,
+      relations: Dataset[graft.spark.Triple], nodes: DataFrame): DataFrame = {
+    val aliasToEntity = nodes
+      .select(col("canonical_name"), explode(col("aliases")).as("subj"))
+    relations.toDF()
+      .join(broadcast(aliasToEntity), Seq("subj"), "left_outer")
+      .select(
+        coalesce(col("canonical_name"), col("subj")).as("subj"),
+        col("pred"),
+        col("obj"),
+        concat(lower(col("pred")), lit(":"), col("obj")).as("obj_entity"),
+        col("url"), col("warc_ts"), col("confidence"))
+      .dropDuplicates("subj", "pred", "obj", "url")
+  }
 }

@@ -50,23 +50,38 @@ object Main {
       ExtractStage.sentences(spark, pages, names, targetNamesFn = namesFn).toDF()
     }
 
+    // fit at most once even though two stages decode (mentions and
+    // relations); skipped entirely when both stages resume from
+    // checkpoint
+    lazy val hmmModel: graft.tag.HmmModel = {
+      val train = graft.io.ConllCodec.read(spark,
+        s"${RefCorpus.RefData}/valid")
+      val m0 = Hmm.fit(spark, train, timeSteps = 1, useFeatures = true)
+      Hmm.selfTrain(spark, m0, sents.as[graft.spark.SentenceRow])
+    }
+
     val mentions = stages.stage("mentions", sents.count()) {
       val sd = sents.as[graft.spark.SentenceRow]
       tagger match {
-        case "hmm" =>
-          val train = graft.io.ConllCodec.read(spark,
-            s"${RefCorpus.RefData}/valid")
-          val m0 = Hmm.fit(spark, train, timeSteps = 1, useFeatures = true)
-          val m1 = Hmm.selfTrain(spark, m0, sd)
-          Triples.taggedMentions(spark, m1, sd).toDF()
-        case _ =>
-          Triples.goldMentions(spark, sd).toDF()
+        case "hmm" => Triples.taggedMentions(spark, hmmModel, sd).toDF()
+        case _ => Triples.goldMentions(spark, sd).toDF()
       }
     }
 
     val triples = stages.stage("triples", mentions.count()) {
       Triples.fromMentions(spark,
         mentions.as[graft.spark.Mention]).toDF()
+    }
+
+    // surface-pattern relation candidates (hasTitle/hasEmail) — same
+    // narrow flatMap shape as mention projection; canonicalized on the
+    // subject side in the edges stage
+    val relations = stages.stage("relations", sents.count()) {
+      val sd = sents.as[graft.spark.SentenceRow]
+      tagger match {
+        case "hmm" => Relations.taggedRelations(spark, hmmModel, sd).toDF()
+        case _ => Relations.goldRelations(spark, sd).toDF()
+      }
     }
 
     val links = stages.stage("links", triples.count()) {
@@ -84,7 +99,9 @@ object Main {
 
     val edges = stages.stage("edges", nodes.count()) {
       Canonicalize.canonicalEdges(spark,
-        triples.as[graft.spark.Triple], nodes)
+          triples.as[graft.spark.Triple], nodes)
+        .unionByName(Canonicalize.canonicalSubjectEdges(spark,
+          relations.as[graft.spark.Triple], nodes))
     }
 
     edges
