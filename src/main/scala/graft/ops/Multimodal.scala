@@ -63,6 +63,38 @@ object Multimodal {
       }
   }
 
+  /** Resize to (targetW x targetH): the metadata arithmetic and the
+    * batched executor-side plumbing are real; the pixel resample is the
+    * stub seam (deterministic stride-sample of the source bytes to
+    * targetW*targetH*channels output bytes, so output size is exactly
+    * what a real resampler would produce).
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int, channels: Int = 3,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val outLen = targetW * targetH * channels
+    media.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val b = if (bytes == null) Array.empty[Byte] else bytes
+            val out = new Array[Byte](outLen)
+            if (b.nonEmpty) {
+              var i = 0
+              while (i < outLen) {
+                out(i) = b((i.toLong * b.length / outLen).toInt)
+                i += 1
+              }
+            }
+            (id, targetW, targetH, channels, out)
+          }
+        }
+      }.toDF("media_id", "width", "height", "channels", "media")
+  }
+
   /** Frame sampling for "video" blobs: split bytes into n equal frames
     * (schema/plumbing demo; a real impl samples keyframes).
     */

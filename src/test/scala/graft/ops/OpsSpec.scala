@@ -96,6 +96,23 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("multimodal resize: exact output size, deterministic, null-safe") {
+    val media = documents.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"))
+    val r1 = Multimodal.resize(spark, media, 8, 6, batchSize = 5).collect()
+      .sortBy(_.getLong(0))
+    assert(r1.length == documents.count())
+    assert(r1.forall(_.getAs[Array[Byte]]("media").length == 8 * 6 * 3),
+      "resized blob must be exactly w*h*channels bytes")
+    assert(r1.forall(r => r.getInt(1) == 8 && r.getInt(2) == 6))
+    val r2 = Multimodal.resize(spark, media.repartition(13), 8, 6).collect()
+      .sortBy(_.getLong(0))
+    assert(r1.zip(r2).forall { case (a, b) =>
+      java.util.Arrays.equals(a.getAs[Array[Byte]]("media"),
+        b.getAs[Array[Byte]]("media"))
+    }, "resize must be deterministic across partitioning and batch size")
+  }
+
   test("fnv1a64 native expression matches the scala implementation") {
     import spark.implicits._
     val df = Seq("hello", "", "Ærøskøbing").toDF("s")
