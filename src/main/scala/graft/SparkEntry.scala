@@ -135,6 +135,22 @@ object SparkEntry {
 
     // W1-analog sessionization over events: session = gap > 30 min,
     // lag + running sum (the reference's block-change segmentation shape).
+    // Grouping-sets / rollup with subtotal rows (absent in the
+    // reference; standard engine capability). NULL subtotal markers are
+    // coalesced to 'ALL' on both sides so ordering is
+    // null-position-independent between Spark and DuckDB.
+    "q5_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("status", "priority")
+    }),
+
     "q6_events_session" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       t(s, dir, "events")
@@ -268,6 +284,16 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // ANN scale path 2: IVF (KMeans coarse quantizer, nprobe cells per
+    // query; rows-only, recall vs brute force asserted in OpsSpec).
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 500)
+      graft.ops.Similarity.ivfTopK(s, e, probes, k = 5, nlist = 8, nprobe = 2)
+        .select("query_id", "neighbor_id", "rk")
+        .orderBy("query_id", "rk")
+    }),
+
     // Dedup: embedding-cosine near-dup pairs via SRP-LSH buckets
     // (rows-only; verified against brute force in OpsSpec).
     "dedup_embed_cosine" -> ((s, dir) => {
@@ -339,6 +365,13 @@ object SparkEntry {
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') AS has_u
         |  FROM customer)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q5_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |COALESCE(o_orderpriority, 'ALL') AS priority,
+        |COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "doc_vocab" ->
       """SELECT tkn, COUNT(*) AS n FROM (
         |SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tkn FROM documents)

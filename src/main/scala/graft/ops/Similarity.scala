@@ -100,6 +100,62 @@ object Similarity {
     sig
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
+    * (spark.ml KMeans, fixed seed, trained once and collected — the
+    * centroid table is tiny) partitions the corpus into cells; each
+    * probe searches only its `nprobe` nearest cells. This is the
+    * standard billion-vector scale path: the corpus is scanned once to
+    * assign cells (narrow), the probe side is broadcast, and the
+    * verification join is bounded by cell sizes instead of going
+    * quadratic.
+    */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val toVec = udf((v: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble).toArray))
+    val kmeans = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = kmeans.fit(corpus.select(toVec(col("embedding")).as("features")))
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    // argmin ||v - c||^2 = argmax (v.c - |c|^2/2); primitive loops, no
+    // per-row vector objects
+    def nearestCells(v: Seq[Float], n: Int): Array[Int] = {
+      val cs = bc.value
+      val scores = new Array[Double](cs.length)
+      var ci = 0
+      while (ci < cs.length) {
+        val c = cs(ci)
+        var dot = 0.0; var nrm = 0.0; var d = 0
+        while (d < c.length) {
+          dot += v(d) * c(d); nrm += c(d) * c(d); d += 1
+        }
+        scores(ci) = dot - nrm / 2
+        ci += 1
+      }
+      scores.zipWithIndex.sortBy(-_._1).take(n).map(_._2)
+    }
+    val cellUdf = udf((v: Seq[Float]) => nearestCells(v, 1).head)
+    val cellsUdf = udf((v: Seq[Float]) => nearestCells(v, nprobe))
+
+    val cb = corpus.withColumn("cell", cellUdf(col("embedding")))
+    val pb = probes.withColumn("cell", explode(cellsUdf(col("embedding"))))
+    val joined = cb.as("c").join(broadcast(pb.as("p")),
+        col("c.cell") === col("p.cell") &&
+        col("c.vec_id") =!= col("p.vec_id"))
+      .select(
+        col("p.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        dotCol(col("p.embedding"), col("c.embedding")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** LSH-bucketed top-k: corpus bucketed once by SRP signature; each
     * probe joins only its bucket. Recall grows with fewer bits /
     * multi-probe; the shuffle is bounded by bucket sizes.

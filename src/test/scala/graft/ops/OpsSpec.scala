@@ -62,6 +62,22 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("ivf ann recall vs brute force beats the cell fraction searched") {
+    val e = embeddings.select("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(e, e, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, e, e, k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"ann recall@5 (ivf 8 cells, 3 probes): $recall%.3f")
+    // searching 3/8 of the corpus at random would give ~0.375; the
+    // quantizer must do materially better than chance
+    assert(recall > 0.5, f"recall $recall%.3f no better than chance")
+    assert(ivf.nonEmpty)
+  }
+
   test("embedding-cosine near-dup finds planted duplicate vectors") {
     import spark.implicits._
     val e = embeddings.select("vec_id", "embedding")
