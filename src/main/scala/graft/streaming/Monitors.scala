@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.spark.Page
+
+/** Streaming operators over the crawl stream beyond plain ingest:
+  * event-time windowed aggregation with a watermark (late-page
+  * tolerance), and custom keyed state via `flatMapGroupsWithState`
+  * (first-seen URL dedup across micro-batches — streaming exact dedup
+  * for a training-data pipeline, with state expiry so the key space
+  * cannot grow unboundedly).
+  */
+object Monitors {
+
+  /** Crawl-rate monitor: pages per (host, event-time window) with a
+    * watermark on `warc_ts` — late pages within `lateness` still update
+    * their window; older ones are dropped and the window state is
+    * reclaimed (bounded state at 10^12-page scale).
+    */
+  def hostWindowCounts(pages: DataFrame,
+      windowLen: String = "1 minute",
+      lateness: String = "10 minutes"): DataFrame =
+    pages
+      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .withWatermark("warc_ts", lateness)
+      .groupBy(window(col("warc_ts"), windowLen), col("host"))
+      .agg(count(lit(1)).as("n_pages"))
+
+  /** First-seen wins: emit each url's page only the first time it is
+    * observed, across micro-batches, via keyed state. With
+    * `stateTimeout` set, keys expire after that processing-time gap
+    * (re-crawls after expiry re-emit — the batch pipeline's global
+    * dedup is the final arbiter; the expiry bounds the streaming state
+    * at 10^12-url scale). NOTE: a processing-time timeout makes Spark
+    * schedule data-less micro-batches to fire expirations, so tests
+    * that drive the query with `processAllAvailable()` must pass
+    * `stateTimeout = None`.
+    */
+  def firstSeenPages(spark: SparkSession, pages: Dataset[Page],
+      stateTimeout: Option[String] = Some("30 minutes")): Dataset[Page] = {
+    import spark.implicits._
+    val conf =
+      if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    pages.groupByKey(_.url)
+      .flatMapGroupsWithState[Boolean, Page](OutputMode.Append(), conf) {
+        case (_, it: Iterator[Page], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty // url already emitted in an earlier batch
+          } else {
+            state.update(true)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            it.take(1) // first occurrence within this batch wins too
+          }
+      }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.TestSpark
+import graft.spark.Page
+
+/** Streaming monitors: watermark-windowed crawl rates and keyed-state
+  * first-seen URL dedup, driven through MemoryStream micro-batches.
+  */
+class MonitorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def page(url: String, ts: String): Page =
+    Page(url, Timestamp.valueOf(ts), Array.emptyByteArray, "", "en")
+
+  test("hostWindowCounts: event-time windows count per host; late data dropped") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = Monitors.hostWindowCounts(in.toDF(), "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("hw").outputMode("update")
+      .start()
+    try {
+      in.addData(
+        page("https://a.edu/1", "2026-01-01 10:00:10"),
+        page("https://a.edu/2", "2026-01-01 10:00:20"),
+        page("https://b.edu/1", "2026-01-01 10:05:00"))
+      q.processAllAvailable()
+      val t1 = spark.table("hw").collect()
+      assert(t1.exists(r => r.getString(1) == "a.edu" && r.getLong(2) == 2))
+      assert(t1.exists(r => r.getString(1) == "b.edu" && r.getLong(2) == 1))
+
+      // watermark is now ~09:55; a 09:00 page is beyond lateness -> dropped
+      in.addData(page("https://c.edu/1", "2026-01-01 09:00:00"))
+      q.processAllAvailable()
+      assert(!spark.table("hw").collect().exists(_.getString(1) == "c.edu"),
+        "page older than the watermark must be dropped")
+
+      // a page late by less than the watermark still lands in its window
+      in.addData(page("https://a.edu/3", "2026-01-01 10:00:40"))
+      q.processAllAvailable()
+      assert(spark.table("hw").collect()
+        .exists(r => r.getString(1) == "a.edu" && r.getLong(2) == 3))
+    } finally q.stop()
+  }
+
+  test("firstSeenPages: url emitted once across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = Monitors.firstSeenPages(spark, in.toDS(), stateTimeout = None)
+      .writeStream.format("memory").queryName("fs").outputMode("append")
+      .start()
+    try {
+      in.addData((0 until 50).map(i => page(s"https://u.edu/$i", "2026-01-01 10:00:00")): _*)
+      q.processAllAvailable()
+      assert(spark.table("fs").count() == 50)
+
+      // overlap 25-49 re-crawled, 50-74 new: only the new 25 emit
+      in.addData((25 until 75).map(i => page(s"https://u.edu/$i", "2026-01-01 10:01:00")): _*)
+      q.processAllAvailable()
+      val urls = spark.table("fs").select("url").collect().map(_.getString(0))
+      assert(urls.length == 75, s"expected 75 first-seen pages, got ${urls.length}")
+      assert(urls.distinct.length == 75, "no url may be emitted twice")
+    } finally q.stop()
+  }
+}
