@@ -162,7 +162,10 @@ final class Bs4TreeBuilder(config: Bs4Config = Bs4Config()) extends HtmlEvents {
 
   private def endData(kind: Int = TextKind.NavigableString): Unit = {
     if (currentData.nonEmpty) {
-      var s = currentData.mkString
+      // single-chunk case (the vast majority of text nodes): reuse the
+      // substring instead of copying it through mkString
+      var s = if (currentData.length == 1) currentData.head
+        else currentData.mkString
       if (preserveWsStack.isEmpty) {
         var strippable = true
         var i = 0
@@ -230,6 +233,7 @@ final class Bs4TreeBuilder(config: Bs4Config = Bs4Config()) extends HtmlEvents {
     } else Py.whitespaceSplit(value) // re.findall(r'\S+', value)
 
   private def makeAttrs(name: String, attrDict: List[(String, String)]): Map[String, AttrValue] = {
+    if (attrDict.isEmpty) return Map.empty
     val universal = CdataListAttributes.getOrElse("*", Set.empty)
     val tagSpecific = CdataListAttributes.getOrElse(name, Set.empty)
     attrDict.map { case (k, v) =>
@@ -255,10 +259,16 @@ final class Bs4TreeBuilder(config: Bs4Config = Bs4Config()) extends HtmlEvents {
   // ---- BeautifulSoupHTMLParser layer ----------------------------------
 
   private def toAttrDict(attrs: List[(String, Option[String])]): List[(String, String)] = {
-    // last occurrence wins, like dict assignment in a loop
-    val seen = scala.collection.mutable.LinkedHashMap[String, String]()
-    attrs.foreach { case (k, v) => seen(k) = v.getOrElse("") }
-    seen.toList
+    // fast paths: most tags carry zero or one attribute
+    attrs match {
+      case Nil => Nil
+      case (k, v) :: Nil => (k, v.getOrElse("")) :: Nil
+      case _ =>
+        // last occurrence wins, like dict assignment in a loop
+        val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+        attrs.foreach { case (k, v) => seen(k) = v.getOrElse("") }
+        seen.toList
+    }
   }
 
   private def htmlparserHandleStart(name: String,
