@@ -154,7 +154,14 @@ final class Bs4TreeBuilder(config: Bs4Config = Bs4Config()) extends HtmlEvents {
   private val preserveWsStack = ArrayBuffer[Tag]()
   private val currentData = ListBuffer[String]()
   private val alreadyClosedEmptyElement = ListBuffer[String]()
-  private val openTagCounter = scala.collection.mutable.Map[String, Int]()
+  // one mutable cell per tag name: single hash lookup per push/pop, no
+  // Integer boxing (this map is touched twice per element)
+  private val openTagCounter = new java.util.HashMap[String, Array[Int]]()
+  private def openCell(name: String): Array[Int] = {
+    var c = openTagCounter.get(name)
+    if (c == null) { c = new Array[Int](1); openTagCounter.put(name, c) }
+    c
+  }
 
   private def currentTag: Tag = tagStack.last
 
@@ -186,13 +193,13 @@ final class Bs4TreeBuilder(config: Bs4Config = Bs4Config()) extends HtmlEvents {
     tag.parent = currentTag
     currentTag.contents += tag
     tagStack += tag
-    openTagCounter(tag.name) = openTagCounter.getOrElse(tag.name, 0) + 1
+    openCell(tag.name)(0) += 1
     if (PreserveWhitespaceTags.contains(tag.name)) preserveWsStack += tag
   }
 
   private def popTag(): Unit = {
     val tag = tagStack.remove(tagStack.length - 1)
-    openTagCounter(tag.name) = openTagCounter.getOrElse(tag.name, 1) - 1
+    openCell(tag.name)(0) -= 1
     if (preserveWsStack.nonEmpty && (preserveWsStack.last eq tag))
       preserveWsStack.remove(preserveWsStack.length - 1)
   }
@@ -202,7 +209,9 @@ final class Bs4TreeBuilder(config: Bs4Config = Bs4Config()) extends HtmlEvents {
     var i = tagStack.length - 1
     var done = false
     while (i >= 1 && !done) {
-      if (!config.popUnmatchedToRoot && openTagCounter.getOrElse(name, 0) <= 0) {
+      if (!config.popUnmatchedToRoot && {
+        val c = openTagCounter.get(name); c == null || c(0) <= 0
+      }) {
         done = true // modern bs4: nothing open with this name -> ignore
       } else {
         val t = tagStack(i)
