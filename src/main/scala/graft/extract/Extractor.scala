@@ -162,7 +162,23 @@ object Extractor {
   private val titleLiterals: Array[String] =
     titleAlternatives.map(_.replace("\\.", ".")).toArray
 
+  // first-char gate: an ASCII first char can only CI-match a literal's
+  // ASCII first letter in its two cases, so most tokens skip the loop
+  // entirely; non-ASCII first chars (e.g. 'İ' -> 'i') take the full
+  // regionMatches path
+  private val titleFirstChars: Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    titleLiterals.foreach { l =>
+      a(l.charAt(0)) = true
+      a(l.charAt(0).toUpper) = true
+    }
+    a
+  }
+
   def isTitle(tkn: String): Boolean = {
+    if (tkn.isEmpty) return false
+    val c0 = tkn.charAt(0)
+    if (c0 < 128 && !titleFirstChars(c0)) return false
     var i = 0
     while (i < titleLiterals.length) {
       val lit = titleLiterals(i)

@@ -17,8 +17,14 @@ object Py {
     * by `\s` in a CPython str regex.
     */
   def isSpace(c: Char): Boolean =
-    (c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r' ||
-     (c >= '\u001C' && c <= '\u001F') || c == '\u0085') || {
+    // ASCII fast path: tab..CR (0x09-0x0D), space, and FS..US
+    // (0x1C-0x1F) are the only ASCII members; all other ASCII chars
+    // (letters, digits, punctuation -- the vast majority of input)
+    // short-circuit without the Character.getType call
+    if (c < 0x80)
+      c == ' ' || (c >= '\t' && c <= '\r') ||
+        (c >= '\u001C' && c <= '\u001F')
+    else (c == '\u0085') || {
       val t = Character.getType(c)
       t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
       t == Character.PARAGRAPH_SEPARATOR

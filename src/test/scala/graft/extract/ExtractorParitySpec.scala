@@ -115,6 +115,20 @@ class PyParitySpec extends AnyFunSuite {
     assert(Py.isSpace(''))
     assert(!Py.isSpace('\u200b'))
     assert(Py.strip(" x ") == "x")
+    // the ASCII fast path must agree with the category formulation over
+    // the whole BMP
+    def ref(c: Char): Boolean =
+      (c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r' ||
+       (c >= '\u001C' && c <= '\u001F') || c == '\u0085') || {
+        val t = Character.getType(c)
+        t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+        t == Character.PARAGRAPH_SEPARATOR
+      }
+    var cc = 0
+    while (cc <= 0xFFFF) {
+      assert(Py.isSpace(cc.toChar) == ref(cc.toChar), f"isSpace mismatch at U+$cc%04X")
+      cc += 1
+    }
   }
 
   test("python isdigit includes superscripts") {
