@@ -42,6 +42,10 @@ final class Tag(
     var attrs: Map[String, AttrValue],
     val canBeEmpty: Boolean) extends BNode {
   val contents: ArrayBuffer[BNode] = ArrayBuffer.empty
+  /** open-tag counter cell, set at push time (saves the name lookup at
+    * pop time)
+    */
+  private[dom] var openCellRef: Array[Int] = _
 
   def hasAttr(key: String): Boolean = attrs.contains(key)
 
@@ -84,14 +88,24 @@ final class Tag(
     }
   }
 
-  /** bs4 find_all(name): descendant Tags with the given name. */
+  /** bs4 find_all(name): descendant Tags with the given name.
+    * (Index loops: ArrayBuffer.foreach allocates an iterator per call
+    * in 2.13, and this runs for every tag of every page.)
+    */
   def findAll(tagName: String): Vector[Tag] = {
     val out = Vector.newBuilder[Tag]
-    def rec(t: Tag): Unit = t.contents.foreach {
-      case c: Tag =>
-        if (c.name == tagName) out += c
-        rec(c)
-      case _ =>
+    def rec(t: Tag): Unit = {
+      val cs = t.contents
+      var i = 0
+      while (i < cs.length) {
+        cs(i) match {
+          case c: Tag =>
+            if (c.name == tagName) out += c
+            rec(c)
+          case _ =>
+        }
+        i += 1
+      }
     }
     rec(this)
     out.result()
@@ -101,7 +115,14 @@ final class Tag(
     * descendant at any depth implies a tag child, so direct children
     * suffice.
     */
-  def hasTagChildren: Boolean = contents.exists(_.isInstanceOf[Tag])
+  def hasTagChildren: Boolean = {
+    var i = 0
+    while (i < contents.length) {
+      if (contents(i).isInstanceOf[Tag]) return true
+      i += 1
+    }
+    false
+  }
 
   /** bs4 extract(): detach from parent. */
   def extract(): Unit = {
@@ -193,13 +214,15 @@ final class Bs4TreeBuilder(config: Bs4Config = Bs4Config()) extends HtmlEvents {
     tag.parent = currentTag
     currentTag.contents += tag
     tagStack += tag
-    openCell(tag.name)(0) += 1
+    val cell = openCell(tag.name)
+    cell(0) += 1
+    tag.openCellRef = cell
     if (PreserveWhitespaceTags.contains(tag.name)) preserveWsStack += tag
   }
 
   private def popTag(): Unit = {
     val tag = tagStack.remove(tagStack.length - 1)
-    openCell(tag.name)(0) -= 1
+    tag.openCellRef(0) -= 1
     if (preserveWsStack.nonEmpty && (preserveWsStack.last eq tag))
       preserveWsStack.remove(preserveWsStack.length - 1)
   }
