@@ -133,8 +133,6 @@ object SparkEntry {
         .orderBy("content_key")
     }),
 
-    // W1-analog sessionization over events: session = gap > 30 min,
-    // lag + running sum (the reference's block-change segmentation shape).
     // Grouping-sets / rollup with subtotal rows (absent in the
     // reference; standard engine capability). NULL subtotal markers are
     // coalesced to 'ALL' on both sides so ordering is
@@ -151,6 +149,8 @@ object SparkEntry {
         .orderBy("status", "priority")
     }),
 
+    // W1-analog sessionization over events: session = gap > 30 min,
+    // lag + running sum (the reference's block-change segmentation shape).
     "q6_events_session" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       t(s, dir, "events")

@@ -60,12 +60,23 @@ object Main {
       Hmm.selfTrain(spark, m0, sents.as[graft.spark.SentenceRow])
     }
 
-    val mentions = stages.stage("mentions", sents.count()) {
-      val sd = sents.as[graft.spark.SentenceRow]
-      tagger match {
-        case "hmm" => Triples.taggedMentions(spark, hmmModel, sd).toDF()
-        case _ => Triples.goldMentions(spark, sd).toDF()
-      }
+    // hmm mode: ONE checkpointed Viterbi pass whose decoded tags feed
+    // both the mention and the relation projections (decoding twice
+    // would double the dominant inference cost); gold mode uses the
+    // carried labels directly
+    val (tagged, tagConfidence) = tagger match {
+      case "hmm" =>
+        val t = stages.stage("tagged", sents.count()) {
+          Triples.decodedSentences(spark, hmmModel,
+            sents.as[graft.spark.SentenceRow]).toDF()
+        }
+        (t, 0.9)
+      case _ => (sents, 1.0)
+    }
+
+    val mentions = stages.stage("mentions", tagged.count()) {
+      Triples.goldMentions(spark, tagged.as[graft.spark.SentenceRow],
+        tagConfidence).toDF()
     }
 
     val triples = stages.stage("triples", mentions.count()) {
@@ -74,14 +85,11 @@ object Main {
     }
 
     // surface-pattern relation candidates (hasTitle/hasEmail) — same
-    // narrow flatMap shape as mention projection; canonicalized on the
-    // subject side in the edges stage
-    val relations = stages.stage("relations", sents.count()) {
-      val sd = sents.as[graft.spark.SentenceRow]
-      tagger match {
-        case "hmm" => Relations.taggedRelations(spark, hmmModel, sd).toDF()
-        case _ => Relations.goldRelations(spark, sd).toDF()
-      }
+    // narrow flatMap shape as mention projection, over the same tagged
+    // sentences; canonicalized on the subject side in the edges stage
+    val relations = stages.stage("relations", tagged.count()) {
+      Relations.goldRelations(spark, tagged.as[graft.spark.SentenceRow],
+        tagConfidence).toDF()
     }
 
     val links = stages.stage("links", triples.count()) {

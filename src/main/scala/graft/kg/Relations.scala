@@ -3,7 +3,6 @@ package graft.kg
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.metrics.SpanMetrics
 import graft.spark.{SentenceRow, Triple}
-import graft.tag.Hmm
 
 /** Surface-pattern relation extraction (north star: "dependency-pattern
   * relation extraction to (subj, pred, obj) candidates"). The reference
@@ -66,26 +65,15 @@ object Relations {
     out.result().iterator
   }
 
-  /** Relations from gold labels (dataset-construction path). */
+  /** Relations from the labels carried by the sentences (gold, or
+    * decoded tags written back by [[Triples.decodedSentences]]).
+    */
   def goldRelations(spark: SparkSession,
-      sents: Dataset[SentenceRow]): Dataset[Triple] = {
+      sents: Dataset[SentenceRow],
+      confidence: Double = 1.0): Dataset[Triple] = {
     import spark.implicits._
-    sents.flatMap(s => fromTags(s, s.bio, 1.0))
+    val conf = confidence
+    sents.flatMap(s => fromTags(s, s.bio, conf))
   }
 
-  /** Relations from HMM decode (inference path): broadcast weights,
-    * narrow — mirrors [[Triples.taggedMentions]].
-    */
-  def taggedRelations(spark: SparkSession, model: graft.tag.HmmModel,
-      sents: Dataset[SentenceRow]): Dataset[Triple] = {
-    import spark.implicits._
-    val b = spark.sparkContext.broadcast(model)
-    sents.mapPartitions { it =>
-      val m = b.value
-      it.flatMap { s =>
-        val tags = Hmm.decode(m, s.feats).map(Hmm.Labels(_)).toSeq
-        fromTags(s, tags, 0.9)
-      }
-    }
-  }
 }

@@ -20,28 +20,30 @@ object Triples {
         s.tkns.slice(start, end + 1).mkString(" "), confidence)
     }
 
-  /** Mentions from gold labels carried by the sentences (dataset
-    * construction path).
+  /** Mentions from the labels carried by the sentences — gold labels in
+    * the dataset-construction path, or HMM-decoded tags written back by
+    * [[decodedSentences]] (pass the decode confidence then).
     */
   def goldMentions(spark: SparkSession,
-      sents: Dataset[SentenceRow]): Dataset[Mention] = {
+      sents: Dataset[SentenceRow],
+      confidence: Double = 1.0): Dataset[Mention] = {
     import spark.implicits._
-    sents.flatMap(s => mentionsFromTags(s, s.bio, 1.0))
+    val conf = confidence
+    sents.flatMap(s => mentionsFromTags(s, s.bio, conf))
   }
 
-  /** Mentions from HMM decode (inference path): broadcast weights,
-    * narrow.
+  /** Sentences with `bio` replaced by HMM-decoded tags: ONE decode pass
+    * whose output serves every downstream projection (mentions AND
+    * relations), instead of each stage re-running Viterbi over the
+    * corpus. Narrow; broadcast weights.
     */
-  def taggedMentions(spark: SparkSession, model: graft.tag.HmmModel,
-      sents: Dataset[SentenceRow]): Dataset[Mention] = {
+  def decodedSentences(spark: SparkSession, model: graft.tag.HmmModel,
+      sents: Dataset[SentenceRow]): Dataset[SentenceRow] = {
     import spark.implicits._
     val b = spark.sparkContext.broadcast(model)
     sents.mapPartitions { it =>
       val m = b.value
-      it.flatMap { s =>
-        val tags = Hmm.decode(m, s.feats).map(Hmm.Labels(_)).toSeq
-        mentionsFromTags(s, tags, 0.9)
-      }
+      it.map(s => s.copy(bio = Hmm.decode(m, s.feats).map(Hmm.Labels(_)).toSeq))
     }
   }
 

@@ -63,17 +63,20 @@ object Multimodal {
       }
   }
 
-  /** Resize to (targetW x targetH): the metadata arithmetic and the
-    * batched executor-side plumbing are real; the pixel resample is the
-    * stub seam (deterministic stride-sample of the source bytes to
-    * targetW*targetH*channels output bytes, so output size is exactly
-    * what a real resampler would produce).
+  /** Resize to (targetW x targetH): the metadata arithmetic is real;
+    * the pixel resample is the stub seam (deterministic stride-sample
+    * of the source bytes to targetW*targetH*channels output bytes, so
+    * output size is exactly what a real resampler would produce). The
+    * `grouped(batchSize)` layer marks the seam where a real resampler
+    * would make one vectorized call per batch — with the per-element
+    * stub it changes nothing observable.
     */
   def resize(spark: SparkSession, media: DataFrame,
       targetW: Int, targetH: Int, channels: Int = 3,
       batchSize: Int = 64): DataFrame = {
     import spark.implicits._
-    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    require(targetW > 0 && targetH > 0 && channels > 0,
+      "target dims and channels must be positive")
     val outLen = targetW * targetH * channels
     media.select(col("media_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]

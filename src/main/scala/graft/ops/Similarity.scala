@@ -122,8 +122,9 @@ object Similarity {
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centroids)
 
-    // argmin ||v - c||^2 = argmax (v.c - |c|^2/2); primitive loops, no
-    // per-row vector objects
+    // argmin ||v - c||^2 = argmax (v.c - |c|^2/2); primitive loops and
+    // primitive partial selection — this runs once per corpus vector,
+    // so no boxing/sorting allocations
     def nearestCells(v: Seq[Float], n: Int): Array[Int] = {
       val cs = bc.value
       val scores = new Array[Double](cs.length)
@@ -137,7 +138,23 @@ object Similarity {
         scores(ci) = dot - nrm / 2
         ci += 1
       }
-      scores.zipWithIndex.sortBy(-_._1).take(n).map(_._2)
+      val k = math.min(n, cs.length)
+      val out = new Array[Int](k)
+      val taken = new Array[Boolean](cs.length)
+      var o = 0
+      while (o < k) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < scores.length) {
+          if (!taken(i) && scores(i) > bestScore) { best = i; bestScore = scores(i) }
+          i += 1
+        }
+        taken(best) = true
+        out(o) = best
+        o += 1
+      }
+      out
     }
     val cellUdf = udf((v: Seq[Float]) => nearestCells(v, 1).head)
     val cellsUdf = udf((v: Seq[Float]) => nearestCells(v, nprobe))

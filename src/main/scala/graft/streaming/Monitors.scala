@@ -52,6 +52,10 @@ object Monitors {
             state.remove()
             Iterator.empty
           } else if (state.exists) {
+            // GroupState clears the timeout on every invocation — re-arm
+            // it, or re-crawled keys would never expire and the state
+            // bound would be lost
+            stateTimeout.foreach(state.setTimeoutDuration)
             Iterator.empty // url already emitted in an earlier batch
           } else {
             state.update(true)
