@@ -201,7 +201,7 @@ final class Bs4TreeBuilder(config: Bs4Config = Bs4Config()) extends HtmlEvents {
           if (AsciiSpaces.indexOf(s.charAt(i)) < 0) strippable = false
           i += 1
         }
-        if (strippable) s = if (s.contains('\n')) "\n" else " "
+        if (strippable) s = if (s.indexOf('\n') >= 0) "\n" else " "
       }
       currentData.clear()
       val node = new TextNode(s, kind)

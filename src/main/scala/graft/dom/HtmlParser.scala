@@ -40,6 +40,11 @@ final class HtmlParser(events: HtmlEvents, convertCharrefs: Boolean = true) {
   def parse(rawdata: String): Unit = {
     val n = rawdata.length
     var i = 0
+    // next-'&' memo: indexOf('&', i) from scratch each iteration is
+    // O(distance-to-next-amp) — on an amp-free page that's a full
+    // rescan of the remaining input PER TAG (quadratic). The next amp
+    // position only moves forward, so cache it until i passes it.
+    var ampCache = Int.MinValue // valid while >= i; n encodes "none ahead"
     while (i < n) {
       // find the next interesting position
       var j = 0
@@ -51,9 +56,11 @@ final class HtmlParser(events: HtmlEvents, convertCharrefs: Boolean = true) {
         } else {
           // interesting_normal = [&<]
           val lt = rawdata.indexOf('<', i)
-          val amp = rawdata.indexOf('&', i)
-          j = if (lt < 0) amp else if (amp < 0) lt else math.min(lt, amp)
-          if (j < 0) j = n
+          if (ampCache < i) {
+            val a = rawdata.indexOf('&', i)
+            ampCache = if (a < 0) n else a
+          }
+          j = math.min(if (lt < 0) n else lt, ampCache)
         }
       } else {
         val m = interestingCdata.matcher(rawdata)

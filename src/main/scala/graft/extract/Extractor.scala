@@ -373,9 +373,34 @@ object Extractor {
     val soup = Bs4TreeBuilder.parse(html, config)
 
     // remove script and style subtrees, then mark childless <br> as 'BR'
-    soup.findAll("script").foreach(_.extract())
-    soup.findAll("style").foreach(_.extract())
-    soup.findAll("br").foreach { br =>
+    // — one fused traversal (three findAll passes walked the tree three
+    // times); extraction/marking order matches the original: scripts,
+    // then styles, then the br childless-check after extraction
+    val scripts = new ArrayBuffer[graft.dom.Tag]()
+    val styles = new ArrayBuffer[graft.dom.Tag]()
+    val brs = new ArrayBuffer[graft.dom.Tag]()
+    def collect(t: graft.dom.Tag): Unit = {
+      val cs = t.contents
+      var i = 0
+      while (i < cs.length) {
+        cs(i) match {
+          case c: graft.dom.Tag =>
+            c.name match {
+              case "script" => scripts += c
+              case "style" => styles += c
+              case "br" => brs += c
+              case _ =>
+            }
+            collect(c)
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    collect(soup)
+    scripts.foreach(_.extract())
+    styles.foreach(_.extract())
+    brs.foreach { br =>
       if (!br.hasTagChildren) br.setString("BR")
     }
 
