@@ -87,11 +87,17 @@ object Canonicalize {
   /** edges table: triples with obj rewritten to the canonical entity. */
   def canonicalEdges(spark: SparkSession, triples: Dataset[graft.spark.Triple],
       nodes: DataFrame): DataFrame = {
+    // No broadcast hint: the exploded alias->entity table grows with
+    // the entity vocabulary, which at 10^12 documents outgrows the
+    // 8 GB broadcast cap (driver OOM). AQE picks broadcast when the
+    // runtime size allows and falls back to a sort-merge/shuffled hash
+    // join on `obj` otherwise; skew on a hot alias is handled by AQE
+    // skew-join splitting.
     val aliasToEntity = nodes
       .select(col("entity_id"), col("canonical_name"),
         explode(col("aliases")).as("obj"))
     triples.toDF()
-      .join(broadcast(aliasToEntity), Seq("obj"), "left_outer")
+      .join(aliasToEntity, Seq("obj"), "left_outer")
       .select(
         col("subj"),
         col("pred"),
@@ -104,16 +110,18 @@ object Canonicalize {
 
   /** Canonicalize relation triples whose SUBJECT is an entity name
     * (hasTitle/hasEmail from [[Relations]]): map subj through the
-    * broadcast alias table; obj stays a literal (title token, email
+    * alias table; obj stays a literal (title token, email
     * address), id-tagged by predicate so edges keep a uniform
     * (subj, pred, obj, obj_entity, url, warc_ts, confidence) schema.
     */
   def canonicalSubjectEdges(spark: SparkSession,
       relations: Dataset[graft.spark.Triple], nodes: DataFrame): DataFrame = {
+    // Unhinted for the same reason as [[canonicalEdges]]: the alias
+    // table scales with the entity vocabulary; AQE chooses the strategy.
     val aliasToEntity = nodes
       .select(col("canonical_name"), explode(col("aliases")).as("subj"))
     relations.toDF()
-      .join(broadcast(aliasToEntity), Seq("subj"), "left_outer")
+      .join(aliasToEntity, Seq("subj"), "left_outer")
       .select(
         coalesce(col("canonical_name"), col("subj")).as("subj"),
         col("pred"),

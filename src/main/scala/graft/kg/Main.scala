@@ -25,7 +25,6 @@ object Main {
   def run(spark: SparkSession, pagesSrc: String, outDir: String,
       tagger: String = "gold"): DataFrame = {
     import spark.implicits._
-    val stages = new Stages(spark, outDir)
 
     // pagesSrc: "ref" (reference corpus), "synth:N" (seeded synthetic
     // corpus of N pages), or a parquet path
@@ -46,8 +45,33 @@ object Main {
         Some(graft.corpus.SyntheticCorpus.targetNamesFn())
       else None
 
-    val sents = stages.stage("sentences", pages.count()) {
-      ExtractStage.sentences(spark, pages, names, targetNamesFn = namesFn).toDF()
+    // web-scale sources bound the self-train vocab collect (css-class
+    // cardinality grows with the corpus); the reference corpus keeps
+    // minCount=1 for exact parity with the published protocol
+    val stMinCount = if (pagesSrc == "ref") 1L else 2L
+    runPages(spark, pages, names, namesFn, outDir, tagger, stMinCount)
+  }
+
+  /** Pipeline over a prepared pages Dataset (also the test seam: the
+    * pages source is consumed exactly once — by the sentences stage —
+    * which an instrumented Dataset can assert).
+    */
+  def runPages(spark: SparkSession, pages: org.apache.spark.sql.Dataset[Page],
+      names: Option[org.apache.spark.broadcast.Broadcast[Map[String, Seq[String]]]],
+      namesFn: Option[String => Seq[String]], outDir: String,
+      tagger: String, stMinCount: Long = 1L): DataFrame = {
+    import spark.implicits._
+    val stages = new Stages(spark, outDir)
+
+    // input_rows for lineage comes from an accumulator filled DURING
+    // the extract job (Stages.stage evaluates the by-name inputRows
+    // after materialization), not from a pages.count() — which for a
+    // synth:/generated source would regenerate the whole corpus once
+    // just to record a lineage field
+    val inputPages = spark.sparkContext.longAccumulator("input_pages")
+    val sents = stages.stage("sentences", inputPages.value) {
+      ExtractStage.sentences(spark, pages, names, targetNamesFn = namesFn,
+        inputPages = Some(inputPages)).toDF()
     }
 
     // fit at most once even though two stages decode (mentions and
@@ -57,7 +81,8 @@ object Main {
       val train = graft.io.ConllCodec.read(spark,
         s"${RefCorpus.RefData}/valid")
       val m0 = Hmm.fit(spark, train, timeSteps = 1, useFeatures = true)
-      Hmm.selfTrain(spark, m0, sents.as[graft.spark.SentenceRow])
+      Hmm.selfTrain(spark, m0, sents.as[graft.spark.SentenceRow],
+        minCount = stMinCount)
     }
 
     // hmm mode: ONE checkpointed Viterbi pass whose decoded tags feed

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fnv1a64
 
@@ -9,6 +9,16 @@ import graft.functions.Fnv1a64
   * (shingle -> minhash -> band -> bucket join), and SimHash. Every
   * variant is one or two bounded shuffles; nothing ever builds the full
   * cross product.
+  *
+  * Hot buckets (boilerplate-heavy corpora concentrate mass in a few
+  * band keys) are neither exploded quadratically nor silently dropped:
+  * buckets over `maxBucket` switch from all-pairs to CHAIN pairing —
+  * members sorted by a content key (full-signature hash, so identical
+  * and near-identical documents sort adjacent), each member paired with
+  * its next `hotChain` neighbors. That bounds the work at O(n*hotChain)
+  * per bucket while preserving connectivity for transitive
+  * connected-component dedup, and every function can report
+  * (buckets, hot_buckets, max_bucket) through an [[Observation]].
   */
 object Dedup {
 
@@ -23,6 +33,25 @@ object Dedup {
     val sb = array_distinct(split(b, " "))
     size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)).cast("double")
+  }
+
+  /** Per-pair slice length for the bucket expansion: all remaining
+    * members when the bucket is within `maxBucket`, else the next
+    * `hotChain` members of the sorted bucket (chain pairing).
+    */
+  private def sliceLenSql(maxBucket: Int, hotChain: Int): String =
+    s"IF(size(ms) <= $maxBucket, size(ms) - i - 1, " +
+      s"least($hotChain, size(ms) - i - 1))"
+
+  /** Attach the hot-bucket observation to a buckets frame. */
+  private def observed(buckets: DataFrame, maxBucket: Int,
+      metrics: Option[Observation]): DataFrame = metrics match {
+    case None => buckets
+    case Some(obs) => buckets.observe(obs,
+      count(lit(1)).as("buckets"),
+      sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
+        .as("hot_buckets"),
+      max(size(col("members"))).as("max_bucket"))
   }
 
   // --- MinHash + LSH ----------------------------------------------------
@@ -61,42 +90,49 @@ object Dedup {
   /** Near-duplicate candidate pairs via banded MinHash LSH:
     * shingle -> k-minhash -> b bands of r rows -> groupBy band key ->
     * within-bucket pairs -> Jaccard-verified. The shuffle is keyed by
-    * (band index, band hash); hot buckets are bounded by `maxBucket`
-    * (skipped + counted rather than exploding quadratically).
+    * (band index, band hash); buckets over `maxBucket` switch to chain
+    * pairing on the full-signature hash (identical docs adjacent), so a
+    * hot key is bounded AND still connected — see the class doc.
     */
   def minhashLshPairs(spark: SparkSession, docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       w: Int = 3, bands: Int = 16, rows: Int = 4,
-      minJaccard: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+      minJaccard: Double = 0.7, maxBucket: Int = 1000, hotChain: Int = 4,
+      metrics: Option[Observation] = None): DataFrame = {
     import spark.implicits._
     val k = bands * rows
     val base = docs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))
     // Texts never enter the band shuffle: the banded stream is
-    // (id, band, bandkey) — 3 numeric columns — so the LSH exchange
-    // moves ~24 bytes x bands per document instead of `bands` full
-    // copies of every text (the difference between a bounded shuffle
-    // and re-shuffling the corpus 16x at 100 TB).
+    // (id, sighash, band, bandkey) — 4 numeric columns — so the LSH
+    // exchange moves ~32 bytes x bands per document instead of `bands`
+    // full copies of every text (the difference between a bounded
+    // shuffle and re-shuffling the corpus 16x at 100 TB).
     val sigs = base.as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         (id, minhashSignature(shingleHashes(text, w), k))
       })
       .toDF("id", "sig")
 
-    val banded = sigs.select(col("id"),
+    val banded = sigs.select(col("id"), hash(col("sig")).as("sighash"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> hash(slice(sig, b * $rows + 1, $rows)))")))
-      .toDF("id", "band", "bandkey")
+      .toDF("id", "sighash", "band", "bandkey")
 
-    val buckets = banded
+    val buckets = observed(banded
       .groupBy("band", "bandkey")
-      .agg(collect_list(col("id")).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .agg(collect_list(struct(col("sighash"), col("id"))).as("members"))
+      .filter(size(col("members")) >= 2), maxBucket, metrics)
 
+    // sort by (sighash, id): in a hot bucket, byte-identical documents
+    // share a sighash and sort adjacent, so chain pairing still finds
+    // every exact-duplicate pair
     val candidates = buckets.select(explode(expr(
-      """flatten(transform(members, (m, i) ->
-        |  transform(slice(members, i + 2, size(members) - i - 1), o ->
-        |    struct(least(m, o) as id_a, greatest(m, o) as id_b))))""".stripMargin))
+      s"""flatten(transform(array_sort(members), (m, i) ->
+        |  transform(slice(array_sort(members), i + 2,
+        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "array_sort(members)")}),
+        |    o -> struct(least(m.id, o.id) as id_a,
+        |                greatest(m.id, o.id) as id_b))))""".stripMargin))
       .as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -120,28 +156,31 @@ object Dedup {
   // --- embedding-cosine near-dup -----------------------------------------
 
   /** Near-duplicate pairs by embedding cosine: SRP-LSH buckets bound the
-    * candidate set; norms precomputed per row; in-bucket verification is
-    * bounded by `maxBucket` (clustered corpora can drop most vectors
-    * into a handful of buckets — a production run splits hot buckets
-    * with more bits / multiprobe instead of going quadratic).
+    * candidate set; norms precomputed per row. Buckets over `maxBucket`
+    * chain-pair on the embedding hash (exact copies sort adjacent), so
+    * clustered corpora stay bounded without losing exact-duplicate
+    * recall — see the class doc.
     */
   def embeddingCosinePairs(spark: SparkSession, embeddings: DataFrame,
-      minCosine: Double, nBits: Int = 6, maxBucket: Int = 500): DataFrame = {
+      minCosine: Double, nBits: Int = 6, maxBucket: Int = 500,
+      hotChain: Int = 4, metrics: Option[Observation] = None): DataFrame = {
     import org.apache.spark.sql.functions.udf
     val sigUdf = udf((v: Seq[Float]) => Similarity.srpSignature(v, nBits))
     val b = embeddings.select(col("vec_id").cast("long").as("id"),
         col("embedding"))
       .withColumn("bucket", sigUdf(col("embedding")))
       .withColumn("norm", Similarity.normCol(col("embedding")))
-    val buckets = b.groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("embedding"), col("norm")))
+    val buckets = observed(b.groupBy("bucket")
+      .agg(collect_list(struct(hash(col("embedding")).as("ekey"), col("id"),
+          col("embedding"), col("norm")))
         .as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .filter(size(col("members")) >= 2), maxBucket, metrics)
     graft.functions.GraftFunctions.register(spark)
     buckets.select(explode(expr(
-      """flatten(transform(members, (m, i) ->
-        |  transform(slice(members, i + 2, size(members) - i - 1), o ->
-        |    struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
+      s"""flatten(transform(array_sort(members), (m, i) ->
+        |  transform(slice(array_sort(members), i + 2,
+        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "array_sort(members)")}),
+        |    o -> struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
         |      dot_f32(m.embedding, o.embedding)
         |        / (m.norm * o.norm) as cosine))))""".stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
@@ -173,11 +212,16 @@ object Dedup {
 
   /** SimHash near-dup pairs: bucket by rotated 16-bit prefixes (4
     * rotations cover any hamming distance <= 3 in at least one bucket
-    * for 16-bit blocks), verify hamming <= maxHamming.
+    * for 16-bit blocks), verify hamming <= maxHamming. The in-bucket
+    * expansion is bounded like the MinHash path: buckets over
+    * `maxBucket` chain-pair on the full simhash (nearby hashes sort
+    * adjacent), so one degenerate 16-bit key (e.g. a corpus of empty or
+    * template-identical texts) costs O(n*hotChain), not O(n^2).
     */
   def simhashPairs(spark: SparkSession, docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000, hotChain: Int = 4,
+      metrics: Option[Observation] = None): DataFrame = {
     import spark.implicits._
     val hashed = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
@@ -187,13 +231,20 @@ object Dedup {
       explode(expr("transform(sequence(0, 3), b -> " +
         "struct(b as blk, shiftright(simhash, b * 16) & 65535 as key))")).as("e"))
       .select(col("id"), col("simhash"), col("e.blk"), col("e.key"))
-    val joined = blocked.as("x").join(blocked.as("y"),
-        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+    val buckets = observed(blocked
+      .groupBy("blk", "key")
+      .agg(collect_list(struct(col("simhash"), col("id"))).as("members"))
+      .filter(size(col("members")) >= 2), maxBucket, metrics)
+    val pairs = buckets.select(explode(expr(
+      s"""flatten(transform(array_sort(members), (m, i) ->
+        |  transform(slice(array_sort(members), i + 2,
+        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "array_sort(members)")}),
+        |    o -> struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
+        |                m.simhash as sh_a, o.simhash as sh_b))))""".stripMargin))
+      .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
       .dropDuplicates("id_a", "id_b")
-    joined
+    pairs
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

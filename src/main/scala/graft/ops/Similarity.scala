@@ -110,7 +110,8 @@ object Similarity {
     * quadratic.
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
-      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+      maxTrain: Long = 200000L): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val toVec = udf((v: Seq[Float]) =>
@@ -118,7 +119,18 @@ object Similarity {
     val kmeans = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = kmeans.fit(corpus.select(toVec(col("embedding")).as("features")))
+    // The coarse quantizer trains on a bounded sample: KMeans makes
+    // maxIter full passes over its input, so fitting on the whole
+    // corpus would dominate the query at scale (one extra count pass +
+    // a sampled fit is strictly cheaper than 10 full passes). Centroid
+    // quality from ~200k vectors is indistinguishable for a coarse
+    // nlist-way partitioner.
+    val nCorpus = corpus.count()
+    val trainSrc =
+      if (nCorpus <= maxTrain) corpus
+      else corpus.sample(withReplacement = false,
+        maxTrain.toDouble / nCorpus, seed)
+    val model = kmeans.fit(trainSrc.select(toVec(col("embedding")).as("features")))
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centroids)
 

@@ -34,12 +34,14 @@ object ExtractStage {
       gaz: Option[Broadcast[Gazetteers]] = None,
       targetNamesFn: Option[String => Seq[String]] = None,
       config: Config = Config(),
-      skipped: Option[LongAccumulator] = None): Dataset[SentenceRow] = {
+      skipped: Option[LongAccumulator] = None,
+      inputPages: Option[LongAccumulator] = None): Dataset[SentenceRow] = {
     import spark.implicits._
     val cfg = config
     pages.mapPartitions { it =>
       val emptyGaz = Gazetteers()
       it.flatMap { p =>
+        inputPages.foreach(_.add(1))
         if (p.html == null || p.html.length > cfg.maxHtmlBytes) {
           skipped.foreach(_.add(1))
           Iterator.empty

@@ -67,11 +67,12 @@ object Hmm {
       spark: SparkSession,
       sents: Dataset[SentenceRow],
       labelsOf: SentenceRow => Seq[Int],
-      enabled: Array[Boolean]): Map[(Int, Int, String), Long] = {
+      enabled: Array[Boolean],
+      minCount: Long = 1L): Map[(Int, Int, String), Long] = {
     import spark.implicits._
     val enabledIdx = enabled.zipWithIndex.filter(_._1).map(_._2)
     val bEnabled = spark.sparkContext.broadcast(enabledIdx)
-    sents.flatMap { s =>
+    val counted = sents.flatMap { s =>
       val ys = labelsOf(s)
       val en = bEnabled.value
       s.feats.indices.iterator.flatMap { i =>
@@ -82,6 +83,14 @@ object Hmm {
       }
     }.toDF("k", "y", "value")
       .groupBy("k", "y", "value").count()
+    // minCount bounds the driver-side table when counting over an
+    // unbounded corpus vocabulary (self-training re-estimates css/
+    // html_ctx tables over the whole decoded corpus — css-class
+    // cardinality on real web data is effectively unbounded). Values
+    // below the cut fall out of the consolidated vocab and decode
+    // through the $UNK probability, exactly like genuinely unseen
+    // values.
+    (if (minCount > 1L) counted.filter(col("count") >= minCount) else counted)
       .as[(Int, Int, String, Long)]
       .collect()
       .map { case (k, y, v, c) => (k, y, v) -> c }
@@ -324,9 +333,15 @@ object Hmm {
     * (11=html_ctx, 12=css), predict with the reset model, re-estimate the
     * secondary tables from predictions, return the updated model (caller
     * decodes again).
+    *
+    * `minCount` > 1 drops feature values observed fewer times from the
+    * re-estimated tables BEFORE the driver collect — required at web
+    * scale where css-class cardinality grows with the corpus (rare
+    * values then decode via $UNK, like unseen ones). Default 1 keeps
+    * exact reference parity on the small labeled corpus.
     */
   def selfTrain(spark: SparkSession, model: HmmModel,
-      sents: Dataset[SentenceRow]): HmmModel = {
+      sents: Dataset[SentenceRow], minCount: Long = 1L): HmmModel = {
     val reset = model.copy(featureTables = model.featureTables.zipWithIndex.map {
       case (t, k) =>
         if (k >= NumFeatures) Array.fill(NumLabels)(Map("$UNK" -> 1.0)) else t
@@ -339,7 +354,7 @@ object Hmm {
     val predLabels: SentenceRow => Seq[Int] = { s =>
       decode(b.value, s.feats).toSeq
     }
-    val fc = countFeatureValues(spark, sents, predLabels, secondary)
+    val fc = countFeatureValues(spark, sents, predLabels, secondary, minCount)
     val tables = buildFeatureTables(fc, secondary,
       carryOver = Some(reset.featureTables))
     reset.copy(featureTables = tables)

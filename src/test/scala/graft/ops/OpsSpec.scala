@@ -94,6 +94,78 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.size.toLong == n)
   }
 
+  /** Union-find connectivity over pairs. */
+  private def componentsOf(ids: Seq[Long], pairs: Set[(Long, Long)]): Int = {
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      if (parent.contains(a) && parent.contains(b)) parent(find(a)) = find(b)
+    }
+    ids.map(find).distinct.size
+  }
+
+  test("minhash-lsh hot bucket: bounded chain pairs, connected, counted") {
+    import spark.implicits._
+    val n = 3000
+    val hot = spark.range(n).select(col("id").as("doc_id"),
+      lit("the same boilerplate navigation footer text on every page").as("text"))
+    val obs = new org.apache.spark.sql.Observation("lsh_hot")
+    val pairs = Dedup.minhashLshPairs(spark, hot, minJaccard = 0.7,
+        maxBucket = 100, hotChain = 4, metrics = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bounded: chain pairing caps at ~n*hotChain (not n^2/2 = 4.5M)
+    assert(pairs.size <= n * 5, s"hot bucket exploded: ${pairs.size} pairs")
+    assert(pairs.size >= n - 1, "hot bucket lost connectivity pairs")
+    // connectivity: transitive dedup still collapses the whole bucket
+    assert(componentsOf(0L until n.toLong, pairs) == 1)
+    // the metric reports the hot bucket instead of silently degrading
+    val m = obs.get
+    assert(m("hot_buckets").asInstanceOf[Long] >= 1L)
+    assert(m("max_bucket").asInstanceOf[Int] == n)
+  }
+
+  test("simhash hot bucket: degenerate key is bounded, not quadratic") {
+    import spark.implicits._
+    val n = 2500
+    val hot = spark.range(n).select(col("id").as("doc_id"),
+      lit("identical template page").as("text"))
+    val obs = new org.apache.spark.sql.Observation("simhash_hot")
+    val pairs = Dedup.simhashPairs(spark, hot, maxHamming = 3,
+        maxBucket = 100, hotChain = 4, metrics = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size <= n * 5, s"degenerate simhash key exploded: ${pairs.size}")
+    assert(componentsOf(0L until n.toLong, pairs) == 1)
+    assert(obs.get("hot_buckets").asInstanceOf[Long] >= 1L)
+  }
+
+  test("embedding-cosine hot bucket: exact copies still pair via chain") {
+    import spark.implicits._
+    // 600 copies each of two distinct vectors: both groups blow past
+    // maxBucket=100, so the chain path runs; identical embeddings share
+    // a content hash and sort adjacent, so copy-pairs must survive
+    val two = embeddings.select("vec_id", "embedding").limit(2).collect()
+    val va = two(0).getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val vb = two(1).getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val df = spark.range(600).select(col("id").as("vec_id"),
+        typedlit(va).as("embedding"))
+      .unionByName(spark.range(600).select((col("id") + 10000).as("vec_id"),
+        typedlit(vb).as("embedding")))
+    val obs = new org.apache.spark.sql.Observation("cos_hot")
+    val pairs = Dedup.embeddingCosinePairs(spark, df, minCosine = 0.999,
+        maxBucket = 100, hotChain = 4, metrics = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size <= 1200 * 5, s"hot cosine bucket exploded: ${pairs.size}")
+    assert(componentsOf(0L until 600L, pairs) == 1, "group A not connected")
+    assert(componentsOf(10000L until 10600L, pairs) == 1, "group B not connected")
+    assert(!pairs.exists { case (a, b) => a < 10000 && b >= 10000 },
+      "distinct random vectors must not pair at cosine 0.999")
+    assert(obs.get("hot_buckets").asInstanceOf[Long] >= 1L)
+  }
+
   test("multimodal decode: schema, determinism, batch independence") {
     val media = documents.select(col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("media"))
