@@ -294,11 +294,21 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
-    // Dedup: embedding-cosine near-dup pairs via SRP-LSH buckets
-    // (rows-only; verified against brute force in OpsSpec).
+    // Dedup: embedding-cosine near-dup pairs via SRP-LSH buckets.
+    // Planted exact copies (shifted ids) make the check oracled, not
+    // vacuous: identical vectors always share an SRP bucket and sort
+    // adjacent on the content hash even in chain-paired hot buckets, so
+    // the output is EXACTLY the planted pairs at cosine 1.0 (random
+    // 64-dim vectors never reach 0.75 — a ~6-sigma event), which DuckDB
+    // reproduces without replicating the LSH.
     "dedup_embed_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      graft.ops.Dedup.embeddingCosinePairs(s, e, minCosine = 0.75)
+      val planted = e.select((col("vec_id") + lit(1000000)).as("vec_id"),
+        col("embedding"))
+      graft.ops.Dedup.embeddingCosinePairs(s, e.unionByName(planted),
+          minCosine = 0.75)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -311,6 +321,180 @@ object SparkEntry {
       graft.ops.Multimodal.decode(s, media).toDF()
         .select(col("media_id").as("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
+        .orderBy("doc_id")
+    }),
+
+    // P4-P11 oracled END-TO-END through the real DOM kernel: documents
+    // tokens are deterministically varied (initcap / punct / title /
+    // email / digit / accent shapes), wrapped in the SynthPages skeleton,
+    // run through parse+tokenize+features, and every per-token feature
+    // column must equal DuckDB's SQL re-derivation of the reference
+    // semantics (util/html_segmenter.py:10-99).
+    "kg_token_features" -> ((s, dir) => {
+      val varied = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("lang"),
+        expr("""array_join(transform(split(text, ' '), (t, i) -> CASE i % 8
+          WHEN 0 THEN concat(upper(substring(t, 1, 1)), substring(t, 2))
+          WHEN 1 THEN ';'
+          WHEN 2 THEN concat('dr.', t)
+          WHEN 3 THEN concat(t, '@', t, '.com')
+          WHEN 4 THEN concat(t, '9')
+          WHEN 5 THEN concat('é', t)
+          ELSE t END), ' ')""").as("text"))
+      val pages = graft.corpus.SynthPages.fromDocuments(s, varied)
+      val sents = graft.spark.ExtractStage.sentences(s, pages)
+      graft.spark.ExtractStage.tokens(s, sents).toDF()
+        .filter(col("html_ctx") === "div.body")
+        .select(
+          expr("CAST(substring_index(url, '/', -1) AS BIGINT)").as("doc_id"),
+          col("tok_id").cast("long").as("tok_id"),
+          col("tkn"),
+          col("unaccented"),
+          col("email").cast("int").as("email"),
+          col("number").cast("int").as("number"),
+          col("title").cast("int").as("title"),
+          col("url_f").cast("int").as("url_flag"),
+          col("capitalized").cast("int").as("capitalized"),
+          col("punct").cast("int").as("punct"),
+          col("css_class"))
+        .orderBy("doc_id", "tok_id")
+    }),
+
+    // P6/P7/P10/P4 predicate quirks at function level (the tokenizer
+    // splits ':' so no URL survives it — the url/email/title prefix
+    // quirks need direct strings): crafted variants over the distinct
+    // vocabulary, kernel predicates vs DuckDB formula replicas.
+    "kg_predicates" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t")).distinct()
+        .select(explode(expr("""array(
+          concat('http://', t, '.com/x'),
+          concat('https://', t),
+          concat('http', t),
+          concat('ftp://', t),
+          concat(t, '@', t),
+          concat(t, '@.a'),
+          concat('x@', t, '.co'),
+          concat('@', t, '.co'),
+          concat('dr', t),
+          concat('DR', t),
+          concat('d.r', t),
+          concat('Mrs.', t),
+          concat('profX', t),
+          concat('é', t, 'À'))""")).as("s"))
+        .as[String]
+        .map(x => (x,
+          if (graft.extract.Extractor.isEmail(x)) 1 else 0,
+          if (graft.extract.Extractor.isUrl(x)) 1 else 0,
+          if (graft.extract.Extractor.isTitle(x)) 1 else 0,
+          graft.extract.Extractor.removeAccents(x)))
+        .toDF("s", "email", "url_flag", "title", "unaccented")
+        .orderBy("s")
+    }),
+
+    // W1/W2 oracled: two classed <div> blocks (W1 block segmentation,
+    // never structEq) with every 10th token '.'-suffixed and the next
+    // initcap'd (W2 50-token re-split points); per-doc sentence count
+    // must equal the closed-form DuckDB formula.
+    "kg_segmentation" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        expr("""transform(split(text, ' '), (t, i) ->
+          CASE WHEN i % 10 = 9 THEN concat(t, '.')
+               WHEN i % 10 = 0 THEN concat(upper(substring(t, 1, 1)), substring(t, 2))
+               ELSE t END)""").as("arr"))
+        .select(col("doc_id"),
+          expr("array_join(slice(arr, 1, least(size(arr), 80)), ' ')").as("b1"),
+          expr("CASE WHEN size(arr) > 80 THEN " +
+            "array_join(slice(arr, 81, size(arr) - 80), ' ') ELSE '' END").as("b2"))
+      val pages = d.as[(Long, String, String)].map { case (id, b1, b2) =>
+        graft.spark.Page(
+          url = "doc://seg/" + id,
+          warc_ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          html = ("<html><head><title>doc " + id + "</title></head><body>" +
+            "<div class=\"b1\">" + b1 + "</div>" +
+            "<div class=\"b2\">" + b2 + "</div></body></html>")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          text = b1, lang = "en")
+      }
+      val sents = graft.spark.ExtractStage.sentences(s, pages)
+      sents.filter(sr => sr.feats.nonEmpty && sr.feats.head(11) == "body.html")
+        .map(sr => sr.url.substring(sr.url.lastIndexOf('/') + 1).toLong)
+        .toDF("doc_id")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sentences"))
+        .orderBy("doc_id")
+    }),
+
+    // J1/J2 oracled: planted dictionary tokens -> exact-window flag,
+    // partial flag, and the round(log(count)) name/word gazetteer
+    // weights (banker's rounding avoided by count choice) re-derived in
+    // SQL per token.
+    "kg_gazetteer" -> ((s, dir) => {
+      val varied = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("lang"),
+        expr("""array_join(transform(split(text, ' '), (t, i) ->
+          CASE WHEN i % 23 = 3 THEN 'zzalpha'
+               WHEN i % 23 = 4 THEN 'zzbeta'
+               ELSE t END), ' ')""").as("text"))
+      val pages = graft.corpus.SynthPages.fromDocuments(s, varied)
+      val gaz = s.sparkContext.broadcast(graft.extract.Gazetteers(
+        exact = Map("zzalpha zzbeta" -> 1),
+        partial = Map("zzalpha" -> 2, "zzbeta" -> 7),
+        word = Map("zzbeta" -> 7)))
+      val sents = graft.spark.ExtractStage.sentences(s, pages, gaz = Some(gaz),
+        config = graft.spark.ExtractStage.Config(annotateGazetteer = true))
+      graft.spark.ExtractStage.tokens(s, sents).toDF()
+        .filter(col("html_ctx") === "div.body")
+        .select(
+          expr("CAST(substring_index(url, '/', -1) AS BIGINT)").as("doc_id"),
+          col("tok_id").cast("long").as("tok_id"),
+          col("tkn"),
+          col("exact").cast("int").as("exact"),
+          col("partial").cast("int").as("partial"),
+          col("name_log").cast("int").as("name_log"),
+          col("word_log").cast("int").as("word_log"))
+        .orderBy("doc_id", "tok_id")
+    }),
+
+    // A6 oracled: span P/R/F1 through the real SpanMetrics Aggregator
+    // over planted single-token spans (gold at i%7==2, pred at i%5==2);
+    // the whole Result row is integer-derived, so DuckDB reproduces the
+    // doubles bit-exactly.
+    "kg_span_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).as("n")).as[Int]
+        .map { n =>
+          val gold: Seq[String] =
+            (0 until n).map(i => if (i % 7 == 2) "I-PER" else "O")
+          val pred: Seq[String] =
+            (0 until n).map(i => if (i % 5 == 2) "I-PER" else "O")
+          (pred, gold)
+        }
+      // typed select: Dataset[Result] whose schema is Result's fields
+      pairs.select(graft.metrics.SpanMetrics.agg.toColumn).toDF()
+    }),
+
+    // J3 + mention projection oracled: planted 2-token target name ->
+    // IOB labeling -> goldMentions spans; per-doc mention count equals
+    // the closed-form position formula.
+    "kg_mention_counts" -> ((s, dir) => {
+      val varied = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("lang"),
+        expr("""array_join(transform(split(text, ' '), (t, i) ->
+          CASE WHEN i % 31 = 5 THEN 'zzjohn'
+               WHEN i % 31 = 6 THEN 'zzdoe'
+               ELSE t END), ' ')""").as("text"))
+      val pages = graft.corpus.SynthPages.fromDocuments(s, varied)
+      val sents = graft.spark.ExtractStage.sentences(s, pages,
+        targetNamesFn = Some((_: String) => Seq("zzjohn zzdoe")))
+      graft.kg.Triples.goldMentions(s, sents).toDF()
+        .select(expr("CAST(substring_index(url, '/', -1) AS BIGINT)").as("doc_id"),
+          col("name"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct(col("name")).as("n_names"))
         .orderBy("doc_id")
     }),
 
@@ -336,7 +520,146 @@ object SparkEntry {
   // DuckDB oracle SQL. Column names/aliases match the Spark results
   // exactly (driver sorts columns by name before hashing).
   // ---------------------------------------------------------------------
+
+  /** The reference's honorific literals (util/html_segmenter.py:59-70,
+    * escaped dots resolved) as a DuckDB case-insensitive-prefix OR.
+    */
+  private def titleOrSql(c: String): String = Seq(
+    "m.sc.", "sc.nat.", "rer.nat.", "md.", "b.sc.", "bs.sc.", "ph.d.",
+    "ed.d.", "m.s.", "hon.", "a.d.", "em.", "apl.", "prof.", "prof.dr.",
+    "conf.dr.", "asist.dr.", "dr.", "mr.", "mrs.", "lect.dr.", "dr",
+    "professor", "mr", "mrs", "ing.")
+    .map(l => s"starts_with(lower($c), '$l')").mkString(" OR ")
+
+  /** is_email's prefix-match semantics on a whitespace-free string
+    * (util/html_segmenter.py:38-40 via Extractor.isEmail): first '@' at
+    * 0-based index >= 1, then a '.' at index >= at+2 and <= len-2.
+    */
+  private def emailSql(c: String): String =
+    s"""(strpos(substr($c, 2), '@') >= 1
+       | AND strpos(substr($c, strpos(substr($c, 2), '@') + 3), '.') >= 1
+       | AND strpos(substr($c, 2), '@')
+       |     + strpos(substr($c, strpos(substr($c, 2), '@') + 3), '.')
+       |     <= LENGTH($c) - 3)""".stripMargin.replace("\n", " ")
+
+  /** is_url: literal 'http' prefix gate + the reference's prefix regex
+    * (util/html_segmenter.py:47-50), anchored for RE2.
+    */
+  private def urlSql(c: String): String =
+    s"""(starts_with($c, 'http') AND regexp_matches($c,
+       | '^http[s]?://(?:[a-zA-Z]|[0-9]|[$$-_@.&+]|[!*\\(\\),]|%[0-9a-fA-F][0-9a-fA-F])+'))"""
+      .stripMargin.replace("\n", " ")
+
   def oracleSql: Map[String, String] = Map(
+    "kg_token_features" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    UNNEST(STRING_SPLIT(text, ' ')) AS t,
+        |    UNNEST(generate_series(1, LEN(STRING_SPLIT(text, ' ')))) AS i
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS tok_id,
+        |    CASE (i - 1) % 8
+        |      WHEN 0 THEN upper(substr(t, 1, 1)) || substr(t, 2)
+        |      WHEN 1 THEN ';'
+        |      WHEN 2 THEN 'dr.' || t
+        |      WHEN 3 THEN t || '@' || t || '.com'
+        |      WHEN 4 THEN t || '9'
+        |      WHEN 5 THEN 'é' || t
+        |      ELSE t END AS tkn
+        |  FROM toks)
+        |SELECT doc_id, tok_id, tkn,
+        |  replace(lower(tkn), 'é', 'e') AS unaccented,
+        |  CASE WHEN ${emailSql("tkn")} THEN 1 ELSE 0 END AS email,
+        |  CASE WHEN regexp_matches(tkn, '[0-9]') THEN 1 ELSE 0 END AS number,
+        |  CASE WHEN ${titleOrSql("tkn")} THEN 1 ELSE 0 END AS title,
+        |  CASE WHEN ${urlSql("tkn")} THEN 1 ELSE 0 END AS url_flag,
+        |  CASE WHEN regexp_matches(tkn, '^[A-Z]') THEN 1 ELSE 0 END AS capitalized,
+        |  CASE WHEN tkn IN (',', ';', ':', '-', '"', '(', ')', '“', '”', '；')
+        |       THEN 1 ELSE 0 END AS punct,
+        |  'doc' AS css_class
+        |FROM v ORDER BY doc_id, tok_id""".stripMargin,
+    "kg_predicates" ->
+      s"""WITH tk AS (
+        |  SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+        |c AS (SELECT UNNEST([
+        |  'http://' || t || '.com/x',
+        |  'https://' || t,
+        |  'http' || t,
+        |  'ftp://' || t,
+        |  t || '@' || t,
+        |  t || '@.a',
+        |  'x@' || t || '.co',
+        |  '@' || t || '.co',
+        |  'dr' || t,
+        |  'DR' || t,
+        |  'd.r' || t,
+        |  'Mrs.' || t,
+        |  'profX' || t,
+        |  'é' || t || 'À']) AS s FROM tk)
+        |SELECT s,
+        |  CASE WHEN ${emailSql("s")} THEN 1 ELSE 0 END AS email,
+        |  CASE WHEN ${urlSql("s")} THEN 1 ELSE 0 END AS url_flag,
+        |  CASE WHEN ${titleOrSql("s")} THEN 1 ELSE 0 END AS title,
+        |  replace(replace(lower(s), 'é', 'e'), 'à', 'a') AS unaccented
+        |FROM c ORDER BY s""".stripMargin,
+    "kg_segmentation" ->
+      """SELECT doc_id,
+        |  (CASE WHEN m1 = 0 THEN 0 WHEN m1 < 50 THEN 1
+        |        ELSE 1 + (m1 - 1) // 10 END
+        |   + CASE WHEN m2 <= 0 THEN 0 WHEN m2 < 50 THEN 1
+        |          ELSE 1 + ((n - 1) // 10 - 8) END) AS n_sentences
+        |FROM (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n,
+        |        LEAST(LEN(STRING_SPLIT(text, ' ')), 80) AS m1,
+        |        LEN(STRING_SPLIT(text, ' ')) - 80 AS m2
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "kg_gazetteer" ->
+      """WITH toks AS (
+        |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n,
+        |    UNNEST(STRING_SPLIT(text, ' ')) AS t,
+        |    UNNEST(generate_series(1, LEN(STRING_SPLIT(text, ' ')))) AS i
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, n, CAST(i - 1 AS BIGINT) AS tok_id,
+        |    CASE WHEN (i - 1) % 23 = 3 THEN 'zzalpha'
+        |         WHEN (i - 1) % 23 = 4 THEN 'zzbeta'
+        |         ELSE t END AS tkn
+        |  FROM toks)
+        |SELECT doc_id, tok_id, tkn,
+        |  CASE WHEN (tkn = 'zzalpha' AND tok_id < n - 1) OR tkn = 'zzbeta'
+        |       THEN 1 ELSE 0 END AS exact,
+        |  CASE WHEN tkn IN ('zzalpha', 'zzbeta') THEN 1 ELSE 0 END AS partial,
+        |  CASE WHEN tkn = 'zzalpha' THEN 1 WHEN tkn = 'zzbeta' THEN 2
+        |       ELSE 0 END AS name_log,
+        |  CASE WHEN tkn = 'zzbeta' THEN 2 ELSE 0 END AS word_log
+        |FROM v ORDER BY doc_id, tok_id""".stripMargin,
+    "kg_span_metrics" ->
+      """WITH per AS (
+        |  SELECT LEN(STRING_SPLIT(text, ' ')) AS n FROM documents),
+        |tot AS (SELECT
+        |    SUM(CASE WHEN n >= 3 THEN (n - 3) // 7 + 1 ELSE 0 END) AS nexp,
+        |    SUM(CASE WHEN n >= 3 THEN (n - 3) // 5 + 1 ELSE 0 END) AS nprd,
+        |    SUM(CASE WHEN n >= 3 THEN (n - 3) // 35 + 1 ELSE 0 END) AS ntp,
+        |    SUM(n) AS ntoks
+        |  FROM per)
+        |SELECT
+        |  CAST(ntoks - nexp - nprd + 2 * ntp AS DOUBLE) / ntoks AS accuracy,
+        |  CAST(ntp AS DOUBLE) / nprd AS "precision",
+        |  CAST(ntp AS DOUBLE) / nexp AS recall,
+        |  2 * (CAST(ntp AS DOUBLE) / nprd) * (CAST(ntp AS DOUBLE) / nexp)
+        |    / ((CAST(ntp AS DOUBLE) / nprd) + (CAST(ntp AS DOUBLE) / nexp)) AS f1,
+        |  CAST(ntp AS BIGINT) AS correct,
+        |  CAST(nprd - ntp AS BIGINT) AS incorrect,
+        |  CAST(nexp - ntp AS BIGINT) AS missed
+        |FROM tot""".stripMargin,
+    "kg_mention_counts" ->
+      """SELECT doc_id,
+        |  CAST((LEN(STRING_SPLIT(text, ' ')) - 7) // 31 + 1 AS BIGINT) AS n_mentions,
+        |  CAST(1 AS BIGINT) AS n_names
+        |FROM documents
+        |WHERE LEN(STRING_SPLIT(text, ' ')) >= 7
+        |ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -434,6 +757,10 @@ object SparkEntry {
         |CAST(LENGTH(text) % 97 AS BIGINT) AS width,
         |CAST((LENGTH(text) * 7) % 89 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_embed_cosine" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        |CAST(1.0 AS DOUBLE) AS cosine
+        |FROM embeddings ORDER BY id_a, id_b""".stripMargin,
     "q6_events_session" ->
       """WITH g AS (
         |SELECT user_id, ts, event_id, value,
