@@ -498,6 +498,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // W11 oracled: the Bi-LSTM-CRF forward pass (TF LSTMCell semantics,
+    // recurrent state NOT disabled) with fixed saturating weights — the
+    // planted 'zzalice' token drives the gates to saturation (h~0.76 ->
+    // logit +7.6) while every other token stays OOV (h<=0.35 near a
+    // plant -> logit <=-3.4), so the decoded tag sequence is exactly
+    // the position formula, margins ~1e7 x float noise.
+    "kg_bilstm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val cell = graft.tag.BiLstm.CellWeights(
+        kernel = Array(Array(5.0f, 5.0f, 5.0f, 5.0f),
+          Array(0.1f, 0.1f, 0.1f, 0.1f)),
+        bias = Array(0f, 0f, 0f, 0f))
+      val scorer = graft.tag.BiLstmCrfScorer(
+        vocab = Map("zzalice" -> 0),
+        wordEmb = Array(Array(1.0f), Array(0.0f)),
+        charCnn = None, fw = cell, bw = cell,
+        dense = Array(Array(0f, 10f), Array(0f, 10f)),
+        denseBias = Array(0f, -7.6f),
+        transition = Array(Array(0.0, 0.0), Array(0.0, 0.0)))
+      val sents = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tkns: Seq[String] = text.split(" ").toSeq.zipWithIndex
+            .map { case (w, i) => if (i % 13 == 7) "zzalice" else w }
+          graft.spark.SentenceRow("doc://bl/" + id,
+            new java.sql.Timestamp(0L), "en", 0,
+            tkns, tkns.map(_ => Seq.empty[String]), tkns.map(_ => "O"))
+        }
+      graft.tag.BiLstmCrf.predict(s, scorer, sents)
+        .map { case (sr, tags) =>
+          (sr.url.substring(sr.url.lastIndexOf('/') + 1).toLong,
+            tags.count(_ == 1).toLong)
+        }
+        .toDF("doc_id", "n_entity_tags")
+        .orderBy("doc_id")
+    }),
+
     // The extraction kernel itself, oracle-checked: documents wrapped in
     // a fixed HTML skeleton -> full parse+tokenize kernel -> per-doc
     // token count and reconstructed text must equal DuckDB's whitespace
@@ -653,6 +690,12 @@ object SparkEntry {
         |  CAST(nprd - ntp AS BIGINT) AS incorrect,
         |  CAST(nexp - ntp AS BIGINT) AS missed
         |FROM tot""".stripMargin,
+    "kg_bilstm_decode" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 8
+        |       THEN (LEN(STRING_SPLIT(text, ' ')) - 8) // 13 + 1
+        |       ELSE 0 END AS BIGINT) AS n_entity_tags
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "kg_mention_counts" ->
       """SELECT doc_id,
         |  CAST((LEN(STRING_SPLIT(text, ' ')) - 7) // 31 + 1 AS BIGINT) AS n_mentions,
