@@ -121,16 +121,17 @@ object Dedup {
 
     val buckets = observed(banded
       .groupBy("band", "bandkey")
-      .agg(collect_list(struct(col("sighash"), col("id"))).as("members"))
+      .agg(array_sort(collect_list(struct(col("sighash"), col("id"))))
+        .as("members"))
       .filter(size(col("members")) >= 2), maxBucket, metrics)
 
     // sort by (sighash, id): in a hot bucket, byte-identical documents
     // share a sighash and sort adjacent, so chain pairing still finds
     // every exact-duplicate pair
     val candidates = buckets.select(explode(expr(
-      s"""flatten(transform(array_sort(members), (m, i) ->
-        |  transform(slice(array_sort(members), i + 2,
-        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "array_sort(members)")}),
+      s"""flatten(transform(members, (m, i) ->
+        |  transform(slice(members, i + 2,
+        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "members")}),
         |    o -> struct(least(m.id, o.id) as id_a,
         |                greatest(m.id, o.id) as id_b))))""".stripMargin))
       .as("p"))
@@ -171,15 +172,15 @@ object Dedup {
       .withColumn("bucket", sigUdf(col("embedding")))
       .withColumn("norm", Similarity.normCol(col("embedding")))
     val buckets = observed(b.groupBy("bucket")
-      .agg(collect_list(struct(hash(col("embedding")).as("ekey"), col("id"),
-          col("embedding"), col("norm")))
+      .agg(array_sort(collect_list(struct(hash(col("embedding")).as("ekey"),
+          col("id"), col("embedding"), col("norm"))))
         .as("members"))
       .filter(size(col("members")) >= 2), maxBucket, metrics)
     graft.functions.GraftFunctions.register(spark)
     buckets.select(explode(expr(
-      s"""flatten(transform(array_sort(members), (m, i) ->
-        |  transform(slice(array_sort(members), i + 2,
-        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "array_sort(members)")}),
+      s"""flatten(transform(members, (m, i) ->
+        |  transform(slice(members, i + 2,
+        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "members")}),
         |    o -> struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
         |      dot_f32(m.embedding, o.embedding)
         |        / (m.norm * o.norm) as cosine))))""".stripMargin)).as("p"))
@@ -233,12 +234,13 @@ object Dedup {
       .select(col("id"), col("simhash"), col("e.blk"), col("e.key"))
     val buckets = observed(blocked
       .groupBy("blk", "key")
-      .agg(collect_list(struct(col("simhash"), col("id"))).as("members"))
+      .agg(array_sort(collect_list(struct(col("simhash"), col("id"))))
+        .as("members"))
       .filter(size(col("members")) >= 2), maxBucket, metrics)
     val pairs = buckets.select(explode(expr(
-      s"""flatten(transform(array_sort(members), (m, i) ->
-        |  transform(slice(array_sort(members), i + 2,
-        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "array_sort(members)")}),
+      s"""flatten(transform(members, (m, i) ->
+        |  transform(slice(members, i + 2,
+        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "members")}),
         |    o -> struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
         |                m.simhash as sh_a, o.simhash as sh_b))))""".stripMargin))
       .as("p"))
