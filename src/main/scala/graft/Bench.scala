@@ -117,9 +117,19 @@ object Bench {
       // JIT warmup at the hottest level (classes are shared across the
       // local[k] sessions of this JVM)
       runSample(32, scaleDocs)
+      // Soft time budget: under heavy co-tenant contention a sample can
+      // run 10-30x slow; later ROUNDS (never the first, so every level
+      // keeps >= 1 sample) are skipped rather than risking the driver's
+      // overall timeout nulling the whole bench.
+      val budgetMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "480")
+        .toLong * 1000L
+      val t0 = System.currentTimeMillis()
       val rounds: Seq[Seq[Int]] =
         Seq(Seq(32, 8, 4, 1), Seq(4, 1), Seq(32, 8, 4, 1))
-      val samples: Seq[Sample] = rounds.flatten.map(c => runSample(c, scaleDocs))
+      val samples: Seq[Sample] = rounds.zipWithIndex.flatMap { case (r, i) =>
+        if (i > 0 && System.currentTimeMillis() - t0 > budgetMs) Seq.empty
+        else r.map(c => runSample(c, scaleDocs))
+      }
       val byLevel: Map[Int, Seq[Sample]] = samples.groupBy(_.cores)
       val best: Map[Int, Sample] =
         byLevel.map { case (c, ss) => c -> ss.minBy(_.sec) }
