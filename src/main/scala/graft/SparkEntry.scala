@@ -231,6 +231,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup: word-TRIGRAM Jaccard on consecutive-doc pairs (the n-gram
+    // variant of the verify metric; oracle-checked against DuckDB's
+    // list functions).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"),
+          round(graft.ops.Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6)
+            .as("jaccard3"))
+        .orderBy("id_a")
+    }),
+
+    // Quality scoring through the TextAnalysis.quality operator
+    // (stopword ratio + mean token span on top of the length stats).
+    "doc_quality_ext" -> ((s, dir) => {
+      graft.ops.TextAnalysis.quality(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
     // Fingerprinting via the native codegen Fnv1a64 expression; the
     // oracle checks the collision-free invariant without replicating
     // the hash: distinct fingerprints == distinct texts.
@@ -763,6 +785,29 @@ object SparkEntry {
         | / LEN(LIST_DISTINCT(LIST_CONCAT(LIST_DISTINCT(STRING_SPLIT(a.text,' ')), LIST_DISTINCT(STRING_SPLIT(b.text,' '))))), 6) AS jaccard
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    LIST_DISTINCT(list_transform(
+        |      generate_series(1, LEN(STRING_SPLIT(text, ' ')) - 2),
+        |      i -> array_to_string((STRING_SPLIT(text, ' '))[i:i+2], ' ')))
+        |      AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
+        |    / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 6) AS jaccard3
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "doc_quality_ext" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS BIGINT) AS len,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(LENGTH(text) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))
+        |    AS mean_token_span,
+        |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |      t -> t IN ('the', 'a'))) AS DOUBLE)
+        |    / LEN(STRING_SPLIT(text, ' ')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """SELECT COUNT(*) AS n_docs,
         |COUNT(DISTINCT text) AS n_distinct_fp,

@@ -54,6 +54,27 @@ object Dedup {
       max(size(col("members"))).as("max_bucket"))
   }
 
+  /** Distinct word n-grams of a text as a column (codegen'd). Texts
+    * shorter than n fall back to the whole text, mirroring
+    * [[shingleHashes]].
+    */
+  def ngramSet(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) < n, array(text)).otherwise(array_distinct(
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))))
+  }
+
+  /** Word n-gram Jaccard similarity between explicit candidate pairs —
+    * the exact verify metric behind the MinHash estimate.
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = ngramSet(a, n)
+    val sb = ngramSet(b, n)
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
   // --- MinHash + LSH ----------------------------------------------------
 
   /** Word w-shingles of a text (distinct, hashed to longs). */
