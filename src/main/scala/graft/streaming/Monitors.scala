@@ -40,12 +40,30 @@ object Monitors {
     * `stateTimeout = None`.
     */
   def firstSeenPages(spark: SparkSession, pages: Dataset[Page],
-      stateTimeout: Option[String] = Some("30 minutes")): Dataset[Page] = {
+      stateTimeout: Option[String] = Some("30 minutes")): Dataset[Page] =
+    firstSeenBy(spark, pages, _.url, stateTimeout)
+
+  /** Streaming near-duplicate suppression at ingest: first-seen keyed by
+    * the 64-bit SimHash of the page text. Template/boilerplate
+    * near-copies quantize to the same simhash, so the stream drops them
+    * with one long of state per distinct content — the batch
+    * MinHash-LSH/SimHash pass (hamming > 0, Jaccard verify) remains the
+    * final arbiter downstream, exactly like the url path above.
+    */
+  def firstSeenBySimhash(spark: SparkSession, pages: Dataset[Page],
+      stateTimeout: Option[String] = Some("30 minutes")): Dataset[Page] =
+    firstSeenBy(spark, pages,
+      p => graft.ops.Dedup.simhash(if (p.text == null) "" else p.text).toString,
+      stateTimeout)
+
+  private def firstSeenBy(spark: SparkSession, pages: Dataset[Page],
+      key: Page => String,
+      stateTimeout: Option[String]): Dataset[Page] = {
     import spark.implicits._
     val conf =
       if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    pages.groupByKey(_.url)
+    pages.groupByKey(key)
       .flatMapGroupsWithState[Boolean, Page](OutputMode.Append(), conf) {
         case (_, it: Iterator[Page], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) {

@@ -236,16 +236,39 @@ final case class BiLstmCrfScorer(
 }
 
 object BiLstmCrf {
+
+  /** The reference's 7-float numeric feature vector from the engine's
+    * 13-slot feature strings: `models/data_loader.py:110` keeps CoNLL
+    * feature cols [:2] + [4:9] = [exact, partial, email, number, title,
+    * url, capitalized] — name_log/word_log/punct are NOT fed to the
+    * neural model. Engine slot indices: 1,2,5,6,7,8,9.
+    */
+  private val FeatureSlots = Array(1, 2, 5, 6, 7, 8, 9)
+  def numericFeatures(feats: Seq[String]): Array[Float] =
+    FeatureSlots.map { i =>
+      if (i < feats.length && feats(i).nonEmpty)
+        try feats(i).toFloat catch { case _: NumberFormatException => 0.0f }
+      else 0.0f
+    }
+
   /** Distributed decode: broadcast weights, narrow mapPartitions —
     * identical execution shape to [[CrfTagger.predict]] / HMM decode.
+    * `useFeatures` appends the reference's 7 numeric features to each
+    * token's input vector (the params['use_features'] path of the best
+    * published model).
     */
   def predict(spark: SparkSession, scorer: BiLstmCrfScorer,
-      sents: Dataset[SentenceRow]): Dataset[(SentenceRow, Seq[Int])] = {
+      sents: Dataset[SentenceRow],
+      useFeatures: Boolean = false): Dataset[(SentenceRow, Seq[Int])] = {
     import spark.implicits._
     val b = spark.sparkContext.broadcast(scorer)
+    val uf = useFeatures
     sents.mapPartitions { it =>
       val s = b.value
-      it.map(sent => (sent, s.decode(sent.tkns).toSeq))
+      it.map { sent =>
+        val fs = if (uf) Some(sent.feats.map(numericFeatures)) else None
+        (sent, s.decode(sent.tkns, fs).toSeq)
+      }
     }
   }
 }

@@ -46,6 +46,33 @@ class MonitorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("firstSeenBySimhash: identical content suppressed across batches, distinct passes") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = Monitors.firstSeenBySimhash(spark, in.toDS(), stateTimeout = None)
+      .writeStream.format("memory").queryName("nds").outputMode("append")
+      .start()
+    def pg(url: String, text: String) =
+      Page(url, Timestamp.valueOf("2026-01-01 10:00:00"),
+        Array.emptyByteArray, text, "en")
+    try {
+      in.addData(
+        pg("https://a.edu/1", "welcome to the faculty directory page"),
+        pg("https://a.edu/2", "welcome to the faculty directory page"), // copy
+        pg("https://a.edu/3", "completely different research abstract text"))
+      q.processAllAvailable()
+      assert(spark.table("nds").count() == 2, "in-batch copy must be dropped")
+      // a later batch re-sends the same boilerplate from a new url
+      in.addData(pg("https://b.edu/1", "welcome to the faculty directory page"),
+        pg("https://b.edu/2", "yet another novel page body"))
+      q.processAllAvailable()
+      val urls = spark.table("nds").collect().map(_.getString(0)).toSet
+      assert(spark.table("nds").count() == 3, "cross-batch copy must be dropped")
+      assert(urls.contains("https://b.edu/2") && !urls.contains("https://b.edu/1"))
+    } finally q.stop()
+  }
+
   test("firstSeenPages: url emitted once across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
