@@ -174,9 +174,16 @@ object Bench {
         }
       }
       // min-of-2 per query: the first run also JIT-warms the query's
-      // code paths, and the min discards co-tenant noise bursts
+      // code paths, and the min discards co-tenant noise bursts; a
+      // failure on one run does not discard the other run's valid
+      // measurement (the query is `failed` only if BOTH runs failed)
       val a = once()
-      val b = if (a < 0) a else math.min(a, once())
+      val c = once()
+      val b =
+        if (a >= 0 && c >= 0) math.min(a, c)
+        else if (a >= 0) a
+        else c // c >= 0, or both failed (-1)
+      if (b >= 0) failed.remove(name)
       name -> b
     }
     spark.stop()

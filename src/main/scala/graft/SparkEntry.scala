@@ -324,8 +324,10 @@ object SparkEntry {
     // 64-dim vectors never reach 0.75 — a ~6-sigma event), which DuckDB
     // reproduces without replicating the LSH.
     "dedup_embed_cosine" -> ((s, dir) => {
+      // planted-id offset 2^40: far above any realistic vec_id range,
+      // so planted ids can never collide with real ones as SF grows
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val planted = e.select((col("vec_id") + lit(1000000)).as("vec_id"),
+      val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
         col("embedding"))
       graft.ops.Dedup.embeddingCosinePairs(s, e.unionByName(planted),
           minCosine = 0.75)
@@ -788,10 +790,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, text,
-        |    LIST_DISTINCT(list_transform(
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+        |    ELSE LIST_DISTINCT(list_transform(
         |      generate_series(1, LEN(STRING_SPLIT(text, ' ')) - 2),
         |      i -> array_to_string((STRING_SPLIT(text, ' '))[i:i+2], ' ')))
-        |      AS grams
+        |    END AS grams
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  ROUND(CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
@@ -846,7 +849,7 @@ object SparkEntry {
         |CAST((LENGTH(text) * 7) % 89 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_embed_cosine" ->
-      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+      """SELECT vec_id AS id_a, vec_id + 1099511627776 AS id_b,
         |CAST(1.0 AS DOUBLE) AS cosine
         |FROM embeddings ORDER BY id_a, id_b""".stripMargin,
     "q6_events_session" ->

@@ -55,21 +55,13 @@ object Glove {
     * [[graft.tag.LinearScorer]] / [[graft.tag.BiLstmCrfScorer]].
     */
   def loadMatrix(spark: SparkSession, glovePath: String,
-      vocab: Seq[String], dim: Int): (Map[String, Int], Array[Array[Float]]) = {
-    val found: Map[String, Array[Float]] = toTable(spark, glovePath, vocab, dim)
-      .collect()
-      .map(r => r.getString(0) ->
-        r.getAs[scala.collection.Seq[Float]](1).toArray)
-      .toMap
-    val index = vocab.zipWithIndex.toMap
-    val matrix = Array.tabulate(vocab.length + 1) { i =>
-      if (i < vocab.length) found.getOrElse(vocab(i), new Array[Float](dim))
-      else new Array[Float](dim) // OOV row
-    }
-    (index, matrix)
-  }
+      vocab: Seq[String], dim: Int): (Map[String, Int], Array[Array[Float]]) =
+    matrixFromTable(toTable(spark, glovePath, vocab, dim), vocab, dim)
 
-  /** Round-trip helper: embedding table -> parquet -> matrix. */
+  /** Embedding table (from [[toTable]] or re-read from parquet) to the
+    * aligned matrix: row i = vocab(i)'s embedding (zeros when missing),
+    * extra final row = the OOV zeros.
+    */
   def matrixFromTable(table: DataFrame, vocab: Seq[String],
       dim: Int): (Map[String, Int], Array[Array[Float]]) = {
     val found = table.select(col("word"), col("embedding")).collect()

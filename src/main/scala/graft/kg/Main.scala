@@ -67,7 +67,11 @@ object Main {
     // the extract job (Stages.stage evaluates the by-name inputRows
     // after materialization), not from a pages.count() — which for a
     // synth:/generated source would regenerate the whole corpus once
-    // just to record a lineage field
+    // just to record a lineage field. Accumulator caveat: Spark only
+    // guarantees exactly-once accumulator updates in actions, so task
+    // retries/speculation can inflate this value — acceptable for a
+    // lineage context field (it is an upper bound on a flaky run,
+    // exact otherwise), not for correctness decisions.
     val inputPages = spark.sparkContext.longAccumulator("input_pages")
     val sents = stages.stage("sentences", inputPages.value) {
       ExtractStage.sentences(spark, pages, names, targetNamesFn = namesFn,

@@ -13,12 +13,18 @@ import graft.functions.Fnv1a64
   * Hot buckets (boilerplate-heavy corpora concentrate mass in a few
   * band keys) are neither exploded quadratically nor silently dropped:
   * buckets over `maxBucket` switch from all-pairs to CHAIN pairing —
-  * members sorted by a content key (full-signature hash, so identical
-  * and near-identical documents sort adjacent), each member paired with
-  * its next `hotChain` neighbors. That bounds the work at O(n*hotChain)
-  * per bucket while preserving connectivity for transitive
-  * connected-component dedup, and every function can report
-  * (buckets, hot_buckets, max_bucket) through an [[Observation]].
+  * members sorted by a content key, each member paired with its next
+  * `hotChain` neighbors. That bounds the work at O(n*hotChain) per
+  * bucket and keeps the bucket CONNECTED for transitive
+  * connected-component dedup. Recall guarantees inside a hot bucket:
+  * BYTE-IDENTICAL documents share the content key and sort adjacent,
+  * so exact-copy pairs always survive; merely near-identical pairs
+  * sort at unrelated positions (the key is an avalanche hash of the
+  * full signature) and are found only with ~hotChain/bucket
+  * probability — which is why every function reports
+  * (buckets, hot_buckets, max_bucket) through an [[Observation]]: a
+  * non-zero hot_buckets count is the signal to split the key space
+  * (more bands / more bits) rather than trust hot-bucket recall.
   */
 object Dedup {
 
@@ -39,9 +45,9 @@ object Dedup {
     * members when the bucket is within `maxBucket`, else the next
     * `hotChain` members of the sorted bucket (chain pairing).
     */
-  private def sliceLenSql(maxBucket: Int, hotChain: Int): String =
-    s"IF(size(ms) <= $maxBucket, size(ms) - i - 1, " +
-      s"least($hotChain, size(ms) - i - 1))"
+  private def sliceLenSql(arr: String, maxBucket: Int, hotChain: Int): String =
+    s"IF(size($arr) <= $maxBucket, size($arr) - i - 1, " +
+      s"least($hotChain, size($arr) - i - 1))"
 
   /** Attach the hot-bucket observation to a buckets frame. */
   private def observed(buckets: DataFrame, maxBucket: Int,
@@ -112,8 +118,9 @@ object Dedup {
     * shingle -> k-minhash -> b bands of r rows -> groupBy band key ->
     * within-bucket pairs -> Jaccard-verified. The shuffle is keyed by
     * (band index, band hash); buckets over `maxBucket` switch to chain
-    * pairing on the full-signature hash (identical docs adjacent), so a
-    * hot key is bounded AND still connected — see the class doc.
+    * pairing on the full-signature hash (byte-identical docs adjacent;
+    * see the class doc for what hot-bucket recall does and does not
+    * guarantee), so a hot key is bounded AND still connected.
     */
   def minhashLshPairs(spark: SparkSession, docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
@@ -152,7 +159,7 @@ object Dedup {
     val candidates = buckets.select(explode(expr(
       s"""flatten(transform(members, (m, i) ->
         |  transform(slice(members, i + 2,
-        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "members")}),
+        |      ${sliceLenSql("members", maxBucket, hotChain)}),
         |    o -> struct(least(m.id, o.id) as id_a,
         |                greatest(m.id, o.id) as id_b))))""".stripMargin))
       .as("p"))
@@ -201,7 +208,7 @@ object Dedup {
     buckets.select(explode(expr(
       s"""flatten(transform(members, (m, i) ->
         |  transform(slice(members, i + 2,
-        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "members")}),
+        |      ${sliceLenSql("members", maxBucket, hotChain)}),
         |    o -> struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
         |      dot_f32(m.embedding, o.embedding)
         |        / (m.norm * o.norm) as cosine))))""".stripMargin)).as("p"))
@@ -261,7 +268,7 @@ object Dedup {
     val pairs = buckets.select(explode(expr(
       s"""flatten(transform(members, (m, i) ->
         |  transform(slice(members, i + 2,
-        |      ${sliceLenSql(maxBucket, hotChain).replace("ms", "members")}),
+        |      ${sliceLenSql("members", maxBucket, hotChain)}),
         |    o -> struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
         |                m.simhash as sh_a, o.simhash as sh_b))))""".stripMargin))
       .as("p"))

@@ -43,12 +43,32 @@ object Monitors {
       stateTimeout: Option[String] = Some("30 minutes")): Dataset[Page] =
     firstSeenBy(spark, pages, _.url, stateTimeout)
 
+  /** Streaming EXACT-content suppression at ingest: first-seen keyed by
+    * the md5 of the page text — no false drops (only byte-identical
+    * texts collide), 16 bytes of key per distinct content.
+    */
+  def firstSeenByContent(spark: SparkSession, pages: Dataset[Page],
+      stateTimeout: Option[String] = Some("30 minutes")): Dataset[Page] =
+    firstSeenBy(spark, pages, p => {
+      val t = if (p.text == null) "" else p.text
+      java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }, stateTimeout)
+
   /** Streaming near-duplicate suppression at ingest: first-seen keyed by
     * the 64-bit SimHash of the page text. Template/boilerplate
     * near-copies quantize to the same simhash, so the stream drops them
-    * with one long of state per distinct content — the batch
-    * MinHash-LSH/SimHash pass (hamming > 0, Jaccard verify) remains the
-    * final arbiter downstream, exactly like the url path above.
+    * with one long of state per distinct content.
+    *
+    * This suppression is LOSSY by construction — use it only where
+    * dropping an occasional distinct page is acceptable (boilerplate-
+    * heavy crawl frontiers): simhash is order-insensitive over words
+    * (two pages with the same word multiset collide) and 64-bit
+    * (birthday collisions at ~10^9 distinct contents), and a page
+    * dropped here never reaches the batch dedup that could have cleared
+    * it. For a loss-free stream filter use [[firstSeenByContent]];
+    * near-dup recall belongs to the batch MinHash-LSH/SimHash pass.
     */
   def firstSeenBySimhash(spark: SparkSession, pages: Dataset[Page],
       stateTimeout: Option[String] = Some("30 minutes")): Dataset[Page] =

@@ -29,6 +29,9 @@ object BiLstm {
       bias: Array[Float]) {        // [4*units]
     def units: Int = bias.length / 4
     def inputSize: Int = kernel.length - units
+    // double view of the bias, computed once (not per token per step —
+    // allocation in the scoring hot path caps multi-core scaling)
+    @transient lazy val biasD: Array[Double] = bias.map(_.toDouble)
   }
 
   @inline private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
@@ -40,7 +43,7 @@ object BiLstm {
       x: Array[Float]): (Array[Double], Array[Double]) = {
     val u = w.units
     val gates = new Array[Double](4 * u)
-    System.arraycopy(w.bias.map(_.toDouble), 0, gates, 0, 4 * u)
+    System.arraycopy(w.biasD, 0, gates, 0, 4 * u)
     // gates += [x, h] . kernel  (row-major loop keeps it cache-friendly)
     var r = 0
     while (r < x.length) {
