@@ -522,6 +522,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Pattern-relation extraction oracled (was rows-only): planted
+    // title token + 2-token name + email token at fixed positions ->
+    // hasTitle fires once per complete adjacent (title, span) pair and
+    // hasEmail once per email token when a span exists; both counts
+    // equal closed-form position formulas.
+    "kg_relations_counts" -> ((s, dir) => {
+      val varied = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("lang"),
+        expr("""array_join(transform(split(text, ' '), (t, i) ->
+          CASE WHEN i % 37 = 10 THEN 'dr.zz'
+               WHEN i % 37 = 11 THEN 'zzjohn'
+               WHEN i % 37 = 12 THEN 'zzdoe'
+               WHEN i % 37 = 20 THEN 'zz@zz.aa'
+               ELSE t END), ' ')""").as("text"))
+      val pages = graft.corpus.SynthPages.fromDocuments(s, varied)
+      val sents = graft.spark.ExtractStage.sentences(s, pages,
+        targetNamesFn = Some((_: String) => Seq("zzjohn zzdoe")))
+      graft.kg.Relations.goldRelations(s, sents).toDF()
+        .select(expr("CAST(substring_index(url, '/', -1) AS BIGINT)").as("doc_id"),
+          col("pred"))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("pred") === "hasTitle", 1L).otherwise(0L)).as("n_title"),
+          sum(when(col("pred") === "hasEmail", 1L).otherwise(0L)).as("n_email"))
+        .orderBy("doc_id")
+    }),
+
     // W11 oracled: the Bi-LSTM-CRF forward pass (TF LSTMCell semantics,
     // recurrent state NOT disabled) with fixed saturating weights — the
     // planted 'zzalice' token drives the gates to saturation (h~0.76 ->
@@ -714,6 +741,14 @@ object SparkEntry {
         |  CAST(nprd - ntp AS BIGINT) AS incorrect,
         |  CAST(nexp - ntp AS BIGINT) AS missed
         |FROM tot""".stripMargin,
+    "kg_relations_counts" ->
+      """SELECT doc_id,
+        |  CAST((n - 13) // 37 + 1 AS BIGINT) AS n_title,
+        |  CAST(CASE WHEN n >= 21 THEN (n - 21) // 37 + 1 ELSE 0 END
+        |       AS BIGINT) AS n_email
+        |FROM (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n
+        |      FROM documents)
+        |WHERE n >= 13 ORDER BY doc_id""".stripMargin,
     "kg_bilstm_decode" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 8

@@ -14,11 +14,12 @@ import graft.tag.Hmm
   * Every stage is checkpoint-resumable (see [[Stages]]). Usage:
   *
   *   spark-submit --class graft.kg.Main <jar> <pagesParquet|ref> <outDir>
-  *     [gold|hmm]
+  *     [gold|hmm|bilstm:<weightsDir>]
   *
   * `ref` loads the reference corpus fixture; `gold` tags mentions from
   * carried labels (dataset-construction path), `hmm` fits an HMM on the
-  * reference valid split and decodes (inference path).
+  * reference valid split and decodes, `bilstm:<dir>` decodes with
+  * imported Bi-LSTM-CRF weights (BiLstmWeightsIO parquet layout).
   */
 object Main {
 
@@ -97,6 +98,17 @@ object Main {
       case "hmm" =>
         val t = stages.stage("tagged", sents.count()) {
           Triples.decodedSentences(spark, hmmModel,
+            sents.as[graft.spark.SentenceRow]).toDF()
+        }
+        (t, 0.9)
+      // "bilstm:<weightsDir>" — imported Bi-LSTM-CRF weights
+      // (graft.tag.BiLstmWeightsIO layout), same ONE-decode-pass shape
+      // as the HMM path
+      case b if b.startsWith("bilstm:") =>
+        val scorer = graft.tag.BiLstmWeightsIO.load(spark,
+          b.stripPrefix("bilstm:"))
+        val t = stages.stage("tagged", sents.count()) {
+          graft.tag.BiLstmCrf.decodedSentences(spark, scorer,
             sents.as[graft.spark.SentenceRow]).toDF()
         }
         (t, 0.9)

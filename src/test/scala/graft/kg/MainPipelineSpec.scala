@@ -42,4 +42,46 @@ class MainPipelineSpec extends AnyFunSuite {
     }
     deleteRec(new java.io.File(dir))
   }
+
+  test("bilstm:<weights> tagger drives the full pipeline end-to-end") {
+    import spark.implicits._
+    import graft.tag.{BiLstm, BiLstmCrfScorer, BiLstmWeightsIO}
+    // saturating 3-tag scorer: planted tokens -> I-PER, all else -> O
+    val cell = BiLstm.CellWeights(
+      kernel = Array(Array(5.0f, 5.0f, 5.0f, 5.0f),
+        Array(0.1f, 0.1f, 0.1f, 0.1f)),
+      bias = Array(0f, 0f, 0f, 0f))
+    val scorer = BiLstmCrfScorer(
+      vocab = Map("zzjohn" -> 0, "zzdoe" -> 0),
+      wordEmb = Array(Array(1.0f), Array(0.0f)),
+      charCnn = None, fw = cell, bw = cell,
+      dense = Array(Array(0f, 0f, 10f), Array(0f, 0f, 10f)),
+      denseBias = Array(0f, -100f, -7.6f), // O, B-PER (never), I-PER
+      transition = Array.fill(3, 3)(0.0))
+    val wdir = java.nio.file.Files.createTempDirectory("blw_main").toString
+    BiLstmWeightsIO.save(spark, scorer, wdir)
+
+    val pages = spark.createDataset((0 until 8).map { i =>
+      val text = s"faculty page number $i zzjohn zzdoe office hours listed"
+      graft.spark.Page(s"doc://bl/$i", new java.sql.Timestamp(0L),
+        ("<html><body><div class=\"doc\"><p>" + text + "</p></div></body></html>")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), text, "en")
+    })
+    val dir = java.nio.file.Files.createTempDirectory("graft_main_bl").toString
+    val edges = Main.runPages(spark, pages, None, None, dir,
+      tagger = s"bilstm:$wdir", stMinCount = 2L)
+    val mentionEdges = edges
+      .filter(org.apache.spark.sql.functions.col("pred") === "mentionsPerson")
+      .collect()
+    assert(mentionEdges.length == 8, s"one mention edge per page: ${mentionEdges.length}")
+    assert(mentionEdges.forall(_.getAs[String]("obj") == "zzjohn zzdoe"),
+      "the decoded span must be the planted name")
+
+    def deleteRec(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(deleteRec)
+      p.delete()
+    }
+    deleteRec(new java.io.File(dir))
+    deleteRec(new java.io.File(wdir))
+  }
 }
