@@ -527,6 +527,13 @@ object SparkEntry {
     // hasTitle fires once per complete adjacent (title, span) pair and
     // hasEmail once per email token when a span exists; both counts
     // equal closed-form position formulas.
+    // Corpus assumptions the closed form relies on (true of the
+    // driver-generated documents tables, all-lowercase punctuation-free
+    // word streams; shared by every planted-token query here): the
+    // unplanted text contributes no sentence-split points ('.'-final
+    // token followed by an uppercase-initial one), no natural email/
+    // honorific tokens, and no 'zz*' words — so every doc stays ONE
+    // sentence and only the planted anchors fire.
     "kg_relations_counts" -> ((s, dir) => {
       val varied = t(s, dir, "documents").select(
         col("doc_id"), col("source"), col("lang"),

@@ -103,13 +103,17 @@ object Main {
         (t, 0.9)
       // "bilstm:<weightsDir>" — imported Bi-LSTM-CRF weights
       // (graft.tag.BiLstmWeightsIO layout), same ONE-decode-pass shape
-      // as the HMM path
+      // as the HMM path. The load stays INSIDE the stage block so a
+      // checkpoint-resumed run never collects the tensors to the
+      // driver; whether the weights were trained with the 7 numeric
+      // features is derived from the kernel width.
       case b if b.startsWith("bilstm:") =>
-        val scorer = graft.tag.BiLstmWeightsIO.load(spark,
-          b.stripPrefix("bilstm:"))
         val t = stages.stage("tagged", sents.count()) {
+          val scorer = graft.tag.BiLstmWeightsIO.load(spark,
+            b.stripPrefix("bilstm:"))
           graft.tag.BiLstmCrf.decodedSentences(spark, scorer,
-            sents.as[graft.spark.SentenceRow]).toDF()
+            sents.as[graft.spark.SentenceRow],
+            useFeatures = graft.tag.BiLstmCrf.expectsFeatures(scorer)).toDF()
         }
         (t, 0.9)
       case _ => (sents, 1.0)

@@ -214,7 +214,16 @@ final case class BiLstmCrfScorer(
   def logitsOf(tokens: Seq[String],
       features: Option[Seq[Array[Float]]] = None): Array[Array[Double]] = {
     if (tokens.isEmpty) return Array.empty
-    val h = BiLstm.biRun(fw, bw, inputsOf(tokens, features))
+    val xs = inputsOf(tokens, features)
+    // Hard width check: without it, a weights file trained WITH the
+    // 7 numeric features but decoded without them (or vice versa)
+    // would silently misread feature-weight kernel rows as recurrent
+    // weights and emit plausible-but-wrong tags.
+    require(xs.head.length == fw.inputSize && xs.head.length == bw.inputSize,
+      s"input width ${xs.head.length} (emb+char+features) != LSTM kernel " +
+        s"input size ${fw.inputSize}/${bw.inputSize} — check useFeatures " +
+        "and the charCnn presence against how the weights were trained")
+    val h = BiLstm.biRun(fw, bw, xs)
     h.map { ht =>
       val out = new Array[Double](numTags)
       var l = 0
@@ -254,12 +263,6 @@ object BiLstmCrf {
       else 0.0f
     }
 
-  /** Distributed decode: broadcast weights, narrow mapPartitions —
-    * identical execution shape to [[CrfTagger.predict]] / HMM decode.
-    * `useFeatures` appends the reference's 7 numeric features to each
-    * token's input vector (the params['use_features'] path of the best
-    * published model).
-    */
   /** Sentences with `bio` replaced by Bi-LSTM-CRF-decoded tags — the
     * neural analog of [[graft.kg.Triples.decodedSentences]]: ONE decode
     * pass feeds every downstream projection (mentions AND relations).
@@ -275,6 +278,23 @@ object BiLstmCrf {
       .map { case (s, tags) => s.copy(bio = tags.map(lbl)) }
   }
 
+  /** Does this scorer expect the 7 numeric features appended to its
+    * input vectors? Derived from the kernel width: inputSize =
+    * embDim (+ charFilters) (+ 7 iff trained with use_features).
+    */
+  def expectsFeatures(scorer: BiLstmCrfScorer): Boolean = {
+    val base = scorer.wordEmb.head.length +
+      scorer.charCnn.map(_.filters).getOrElse(0)
+    scorer.fw.inputSize == base + 7
+  }
+
+  /** Distributed decode: broadcast weights, narrow mapPartitions —
+    * identical execution shape to [[CrfTagger.predict]] / HMM decode.
+    * `useFeatures` appends the reference's 7 numeric features to each
+    * token's input vector (the params['use_features'] path of the best
+    * published model); it must match how the weights were trained — the
+    * scorer's input-width check throws otherwise.
+    */
   def predict(spark: SparkSession, scorer: BiLstmCrfScorer,
       sents: Dataset[SentenceRow],
       useFeatures: Boolean = false): Dataset[(SentenceRow, Seq[Int])] = {

@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   * tensors. A TF checkpoint exports into this layout with a ~20-line
   * dump script (kernel [(in+units) x 4*units] gate order i,j,f,o; conv
   * kernel [k x emb x filters]); the engine then never needs TF.
+  *
+  * Precision: every tensor is stored float32 — lossless for TF-exported
+  * weights (TF trains in float32), but an engine-constructed scorer's
+  * double-precision CRF `transition` is quantized on save, so
+  * save->load is decode-equivalent rather than bit-identical for
+  * transitions carrying sub-float32-epsilon differences.
   */
 object BiLstmWeightsIO {
 
