@@ -69,6 +69,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.extractTokensDescriptor)
     e.injectFunction(GraftExtensions.fnv1a64Descriptor)
     e.injectFunction(GraftExtensions.dotF32Descriptor)
+    e.injectFunction(GraftExtensions.simhash64Descriptor)
   }
 }
 
@@ -85,6 +86,11 @@ object GraftExtensions {
     FunctionIdentifier("fnv1a64"),
     new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
     (exprs: Seq[Expression]) => Fnv1a64(exprs.head))
+
+  val simhash64Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (exprs: Seq[Expression]) => SimHash64(exprs.head))
 
   val dotF32Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_f32"),

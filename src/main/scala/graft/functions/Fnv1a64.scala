@@ -62,6 +62,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f32", { exprs => arity("dot_f32", 2)(exprs); DotF32(exprs.head, exprs(1)) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", { exprs => arity("simhash64", 1)(exprs); SimHash64(exprs.head) },
+      "built-in")
   }
 
   def fnv1a64(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {

@@ -28,12 +28,15 @@ object Main {
     import spark.implicits._
 
     // pagesSrc: "ref" (reference corpus), "synth:N" (seeded synthetic
-    // corpus of N pages), or a parquet path
+    // corpus of N pages), "warc:<glob>" (Common-Crawl WARC files), or a
+    // parquet path
     val pages =
       if (pagesSrc == "ref") RefCorpus.pages(spark)
       else if (pagesSrc.startsWith("synth:"))
         graft.corpus.SyntheticCorpus.pages(spark,
           pagesSrc.stripPrefix("synth:").toLong)
+      else if (pagesSrc.startsWith("warc:"))
+        graft.io.Warc.pages(spark, pagesSrc.stripPrefix("warc:"))
       else spark.read.parquet(pagesSrc).as[Page]
 
     val names =

@@ -252,10 +252,13 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 1000, hotChain: Int = 4,
       metrics: Option[Observation] = None): DataFrame = {
     import spark.implicits._
-    val hashed = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, simhash(t)) }
-      .toDF("id", "simhash")
+    // native codegen simhash: the hash stays inside the whole-stage
+    // generated loop over the scan — no row deserialization, no
+    // String.split, no per-row array allocations (the Dataset-map
+    // formulation paid all three)
+    graft.functions.GraftFunctions.register(spark)
+    val hashed = docs.select(col(idCol).cast("long").as("id"),
+      call_function("simhash64", col(textCol)).as("simhash"))
     val blocked = hashed.select(col("id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), b -> " +
         "struct(b as blk, shiftright(simhash, b * 16) & 65535 as key))")).as("e"))

@@ -201,6 +201,24 @@ class OpsSpec extends AnyFunSuite {
     }, "resize must be deterministic across partitioning and batch size")
   }
 
+  test("simhash64 native expression is bit-identical to Dedup.simhash") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31337)
+    val words = Vector("the", "data", "row", "spark", "Ærø", "x9")
+    val cases = Seq("", " ", "  ", "a", "a ", " a", "a  b", "a b ") ++
+      (0 until 200).map { _ =>
+        val n = rng.nextInt(12)
+        (0 until n).map(_ => words(rng.nextInt(words.length)))
+          .mkString(" ") + (if (rng.nextBoolean()) " " else "")
+      }
+    val got = cases.toDF("s")
+      .select(org.apache.spark.sql.functions.call_function("simhash64",
+        col("s")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(Dedup.simhash),
+      "native simhash64 must replicate String.split(\" \") semantics exactly")
+  }
+
   test("fnv1a64 native expression matches the scala implementation") {
     import spark.implicits._
     val df = Seq("hello", "", "Ærøskøbing").toDF("s")
