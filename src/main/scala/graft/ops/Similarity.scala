@@ -47,7 +47,15 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
 
-  /** Brute-force top-k by dot product: corpus x broadcast(probes). */
+  /** Brute-force top-k by dot product: corpus x broadcast(probes).
+    *
+    * k == 1 avoids the ranking window entirely: `max(struct(score,
+    * -neighbor, neighbor))` is a hash aggregate with a MAP-SIDE partial
+    * — the corpus-sized scored stream reduces to one row per probe
+    * before the exchange, instead of shuffling and sorting every scored
+    * pair (the window plan). Tie semantics identical to the window
+    * (`score desc, neighbor_id asc`).
+    */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       metric: (Column, Column) => Column = dotCol): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
@@ -58,9 +66,17 @@ object Similarity {
         col("p.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
         metric(col("p.embedding"), col("c.embedding")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    if (k == 1) {
+      joined.groupBy("query_id")
+        .agg(max(struct(col("score"), (-col("neighbor_id")).as("neg"),
+          col("neighbor_id").as("nid"))).as("b"))
+        .select(col("query_id"), col("b.nid").as("neighbor_id"),
+          col("b.score").as("score"), lit(1).as("rk"))
+    } else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    }
   }
 
   /** Deterministic pseudo-random hyperplane component for (bit, dim). */

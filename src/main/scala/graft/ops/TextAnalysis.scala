@@ -25,16 +25,20 @@ object TextAnalysis {
   private def markerCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => words.foldLeft(lit(false))((acc, w) => acc || t === w)))
 
-  /** Language guess = highest marker count, ties broken by list order. */
+  /** Language guess = highest marker count, ties broken by list order
+    * (argmax as `array_max` over (score, -listIndex, lang) structs —
+    * each marker count appears ONCE in the plan; the earlier
+    * when/otherwise fold duplicated every score subtree in both the
+    * condition and the otherwise branch, doubling the expression tree
+    * per language).
+    */
   def langGuess(text: Column): Column = {
     val tokens = split(text, " ")
-    val scored = Markers.map { case (lang, ws) => (lang, markerCount(tokens, ws)) }
-    // fold: keep current winner unless a strictly higher score appears
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-         when(score > bestScore, score).otherwise(bestScore))
-    }._1
+    val scored = Markers.zipWithIndex.map { case ((lang, ws), i) =>
+      struct(markerCount(tokens, ws).as("s"), lit(-i).as("p"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
   }
 
   /** Quality signals: lengths, token stats, stopword + punct ratios. */
