@@ -593,6 +593,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // S1 WARC source oracled end-to-end: documents -> WARC response
+    // records (HTTP head + Content-Length framing) -> Warc record
+    // parser -> pages -> the full DOM extraction kernel; per-doc token
+    // count and rebuilt text must equal DuckDB's whitespace split.
+    "warc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val html = "<html><body><div class=\"doc\"><p>" + text +
+            "</p></div></body></html>"
+          val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            html).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+            "WARC-Target-URI: doc://warc/" + id + "\r\n" +
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+            "Content-Length: " + payload.length + "\r\n\r\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+            payload ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          graft.io.Warc.records(new java.io.ByteArrayInputStream(rec),
+              gzipped = false)
+            .filter(_.warcType == "response")
+            .map { r =>
+              graft.spark.Page(r.targetUri.get, graft.io.Warc.parseDate(r.date),
+                graft.io.Warc.httpBody(r.payload), "", "en")
+            }
+        })
+      val sents = graft.spark.ExtractStage.sentences(s, pages)
+      sents.filter(sr => sr.feats.nonEmpty && sr.feats.head(11) == "div.body")
+        .map(sr => (
+          sr.url.substring(sr.url.lastIndexOf('/') + 1).toLong,
+          sr.tkns.length.toLong,
+          sr.tkns.mkString(" ")))
+        .toDF("doc_id", "n_tokens", "text_rebuilt")
+        .orderBy("doc_id")
+    }),
+
     // The extraction kernel itself, oracle-checked: documents wrapped in
     // a fixed HTML skeleton -> full parse+tokenize kernel -> per-doc
     // token count and reconstructed text must equal DuckDB's whitespace
@@ -818,6 +855,11 @@ object SparkEntry {
       """SELECT MD5(text) AS content_key, MIN(doc_id) AS keeper,
         |COUNT(*) AS copies FROM documents
         |GROUP BY MD5(text) ORDER BY content_key""".stripMargin,
+    "warc_roundtrip" ->
+      """SELECT doc_id,
+        |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |text AS text_rebuilt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "kg_extract_parity" ->
       """SELECT doc_id,
         |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
