@@ -89,6 +89,29 @@ object Bench {
     Sample(cores, n, sec, ld, util, gc1 - gc0)
   }
 
+  /** The driver-contract JSON line (pure, unit-testable — BENCH_r01 was
+    * recorded `parsed:null` because sbt prefixed the line; the schema
+    * itself must also stay machine-parseable).
+    */
+  def jsonLine(results: Map[String, Double], failed: Map[String, String],
+      sfDir: String, scaling: String): String = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+      .mkString("{", ",", "}")
+    val failedJson = failed.map { case (k, v) =>
+      "\"" + esc(k) + "\":\"" + esc(v) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,"sf":"${esc(sfDir)}","scaling":$scaling}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -188,13 +211,7 @@ object Bench {
     }
     spark.stop()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failedJson = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"sf":"$sfDir","scaling":$scaling}"""
+    val line = jsonLine(results, failed.toMap, sfDir, scaling)
     // stdout (unprefixed via build.sbt outputStrategy) + file mirror so
     // the driver can machine-read it either way
     println(line)

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The Bench driver-contract JSON line must stay machine-parseable —
+  * the regression class that nulled BENCH_r01 (`parsed:null`).
+  */
+class BenchJsonSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  test("jsonLine parses with a strict JSON parser, incl. escapes and failures") {
+    val scaling = """{"docs":10,"tps_1":1.0,"efficiency":0.9}"""
+    val line = Bench.jsonLine(
+      Map("q1_agg" -> 1.25, "weird\"name\n" -> -1.0),
+      Map("weird\"name\n" -> "boom: \"quoted\"\tmessage"),
+      "/root/testdata/sf0.1", scaling)
+    assert(!line.contains("\n"), "must be ONE line")
+    val root = mapper.readTree(line) // throws on malformed JSON
+    assert(root.get("metric").asText() == "total")
+    assert(math.abs(root.get("value").asDouble() - 1.25) < 1e-12,
+      "failed queries (-1) must not shrink the total")
+    assert(root.get("queries").get("q1_agg").asDouble() == 1.25)
+    assert(root.get("failed").size() == 1)
+    assert(root.get("scaling").get("efficiency").asDouble() == 0.9)
+  }
+
+  test("jsonLine with no scaling phase emits a JSON null") {
+    val line = Bench.jsonLine(Map("a" -> 0.5), Map.empty, "/x", "null")
+    val root = mapper.readTree(line)
+    assert(root.get("scaling").isNull)
+  }
+}
