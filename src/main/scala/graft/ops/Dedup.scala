@@ -60,15 +60,26 @@ object Dedup {
       max(size(col("members"))).as("max_bucket"))
   }
 
-  /** Distinct word n-grams of a text as a column (codegen'd). Texts
-    * shorter than n fall back to the whole text, mirroring
-    * [[shingleHashes]].
+  /** Distinct word n-grams of a text as a column. Texts shorter than n
+    * fall back to the whole text, mirroring [[shingleHashes]].
+    *
+    * Built by shift-and-zip — gram i = w(i) ++ w(i+1) ++ ... — NOT by
+    * `transform(sequence(...), i -> slice(w, i, n))`: higher-order
+    * functions evaluate expressions referenced inside the lambda once
+    * PER ELEMENT, so the slice formulation re-split the text ~len
+    * times per row (the same trap as the removed aggregate(zip_with)
+    * dot product). Here every `w` reference sits outside the lambdas
+    * and evaluates once per row; zip_with's null padding marks the
+    * truncated tail grams, which are filtered.
     */
   def ngramSet(text: Column, n: Int): Column = {
     val w = split(text, " ")
-    when(size(w) < n, array(text)).otherwise(array_distinct(
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => array_join(slice(w, i, lit(n)), " "))))
+    val grams = (1 until n).foldLeft(w) { (acc, k) =>
+      zip_with(acc, slice(w, lit(k + 1), size(w)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(w) < n, array(text))
+      .otherwise(array_distinct(filter(grams, g => g.isNotNull)))
   }
 
   /** Word n-gram Jaccard similarity between explicit candidate pairs —

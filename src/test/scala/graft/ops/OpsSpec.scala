@@ -201,6 +201,25 @@ class OpsSpec extends AnyFunSuite {
     }, "resize must be deterministic across partitioning and batch size")
   }
 
+  test("ngramSet matches a reference trigram computation") {
+    import spark.implicits._
+    val cases = Seq("a b c d e", "a b c", "a b", "x", "a a a a",
+      "w1 w2 w3 w4 w5 w6 w7")
+    def ref(s: String, n: Int): Set[String] = {
+      val w = s.split(" ")
+      if (w.length < n) Set(s)
+      else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+    }
+    val got = cases.toDF("s")
+      .select(col("s"), Dedup.ngramSet(col("s"), 3).as("g"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]](1).toSet).toMap
+    cases.foreach { c =>
+      assert(got(c) == ref(c, 3), s"trigrams differ for '$c'")
+    }
+  }
+
   test("simhash64 native expression is bit-identical to Dedup.simhash") {
     import spark.implicits._
     val rng = new scala.util.Random(31337)
