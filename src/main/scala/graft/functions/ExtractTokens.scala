@@ -70,6 +70,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.fnv1a64Descriptor)
     e.injectFunction(GraftExtensions.dotF32Descriptor)
     e.injectFunction(GraftExtensions.simhash64Descriptor)
+    e.injectFunction(GraftExtensions.minhashSigDescriptor)
   }
 }
 
@@ -91,6 +92,14 @@ object GraftExtensions {
     FunctionIdentifier("simhash64"),
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
     (exprs: Seq[Expression]) => SimHash64(exprs.head))
+
+  val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+    (exprs: Seq[Expression]) => {
+      GraftFunctions.arity("minhash_sig", 3)(exprs)
+      MinhashSig(exprs.head, exprs(1), exprs(2))
+    })
 
   val dotF32Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_f32"),

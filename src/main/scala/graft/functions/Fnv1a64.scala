@@ -65,6 +65,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", { exprs => arity("simhash64", 1)(exprs); SimHash64(exprs.head) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", { exprs =>
+        arity("minhash_sig", 3)(exprs)
+        MinhashSig(exprs.head, exprs(1), exprs(2))
+      }, "built-in")
   }
 
   def fnv1a64(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {

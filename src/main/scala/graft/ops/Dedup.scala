@@ -94,36 +94,16 @@ object Dedup {
 
   // --- MinHash + LSH ----------------------------------------------------
 
-  /** Word w-shingles of a text (distinct, hashed to longs). */
-  def shingleHashes(text: String, w: Int): Array[Long] = {
-    val words = text.split(" ")
-    if (words.length < w) Array(Fnv1a64.hashString(text))
-    else (0 to words.length - w).iterator
-      .map(i => Fnv1a64.hashString(words.slice(i, i + w).mkString(" ")))
-      .toArray.distinct
-  }
-
-  /** k-permutation minhash signature via the (a*x+b) universal-hash
-    * trick — deterministic seeds.
+  /** Word w-shingles of a text (distinct, hashed to longs) — the
+    * native `minhash_sig` expression's kernel, re-exported for direct
+    * use and tests.
     */
-  def minhashSignature(shingles: Array[Long], k: Int): Array[Long] = {
-    val sig = Array.fill(k)(Long.MaxValue)
-    var p = 0
-    while (p < k) {
-      val a = 0x9e3779b97f4a7c15L * (2 * p + 1)
-      val b = 0xbf58476d1ce4e5b9L * (p + 1)
-      var i = 0
-      var mn = Long.MaxValue
-      while (i < shingles.length) {
-        val h = a * shingles(i) + b
-        if (h < mn) mn = h
-        i += 1
-      }
-      sig(p) = mn
-      p += 1
-    }
-    sig
-  }
+  def shingleHashes(text: String, w: Int): Array[Long] =
+    graft.functions.MinhashSig.shingles(text, w)
+
+  /** k-permutation minhash signature (see [[shingleHashes]]). */
+  def minhashSignature(shingles: Array[Long], k: Int): Array[Long] =
+    graft.functions.MinhashSig.signature(shingles, k)
 
   /** Near-duplicate candidate pairs via banded MinHash LSH:
     * shingle -> k-minhash -> b bands of r rows -> groupBy band key ->
@@ -146,12 +126,12 @@ object Dedup {
     // (id, sighash, band, bandkey) — 4 numeric columns — so the LSH
     // exchange moves ~32 bytes x bands per document instead of `bands`
     // full copies of every text (the difference between a bounded
-    // shuffle and re-shuffling the corpus 16x at 100 TB).
-    val sigs = base.as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, minhashSignature(shingleHashes(text, w), k))
-      })
-      .toDF("id", "sig")
+    // shuffle and re-shuffling the corpus 16x at 100 TB). Signatures
+    // come from the native codegen `minhash_sig` expression: no row
+    // deserialization into a typed Dataset for the hash stage.
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = base.select(col("id"),
+      call_function("minhash_sig", col("text"), lit(w), lit(k)).as("sig"))
 
     val banded = sigs.select(col("id"), hash(col("sig")).as("sighash"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +

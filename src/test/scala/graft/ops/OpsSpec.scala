@@ -238,6 +238,19 @@ class OpsSpec extends AnyFunSuite {
       "native simhash64 must replicate String.split(\" \") semantics exactly")
   }
 
+  test("minhash_sig native expression is bit-identical to the scala kernel") {
+    import spark.implicits._
+    val cases = Seq("", "a", "one two", "one two three four five", "a b a b a")
+    val got = cases.toDF("s")
+      .select(org.apache.spark.sql.functions.call_function("minhash_sig",
+        col("s"), lit(3), lit(8)).as("sig"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Long]](0).toSeq).toSeq
+    val want = cases.map(s =>
+      Dedup.minhashSignature(Dedup.shingleHashes(s, 3), 8).toSeq)
+    assert(got == want)
+  }
+
   test("fnv1a64 native expression matches the scala implementation") {
     import spark.implicits._
     val df = Seq("hello", "", "Ærøskøbing").toDF("s")
