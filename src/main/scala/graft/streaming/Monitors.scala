@@ -47,12 +47,6 @@ object Monitors {
     * the md5 of the page text — no false drops (only byte-identical
     * texts collide), 16 bytes of key per distinct content.
     */
-  // digest instances are not thread-safe; one per executor thread keeps
-  // the per-record keying path free of JCA provider lookups/allocations
-  private lazy val md5Local: ThreadLocal[java.security.MessageDigest] =
-    ThreadLocal.withInitial(() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
   def firstSeenByContent(spark: SparkSession, pages: Dataset[Page],
       stateTimeout: Option[String] = Some("30 minutes")): Dataset[Page] =
     firstSeenBy(spark, pages, p => {
@@ -62,6 +56,12 @@ object Monitors {
       java.util.Base64.getEncoder.encodeToString(
         md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     }, stateTimeout)
+
+  // digest instances are not thread-safe; one per executor thread keeps
+  // the per-record keying path free of JCA provider lookups/allocations
+  private lazy val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   /** Streaming near-duplicate suppression at ingest: first-seen keyed by
     * the 64-bit SimHash of the page text. Template/boilerplate

@@ -46,6 +46,55 @@ class WarcSpec extends AnyFunSuite {
       ("HTTP/1.1 200 OK\nX: y\n\nBODY").getBytes("UTF-8")), "UTF-8") == "BODY")
   }
 
+  test("chunked transfer-encoding is de-framed; UTF-8 header values survive") {
+    val chunkedPayload =
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "5\r\n<html\r\n1; ext=1\r\n>\r\n6\r\nBODY!!\r\n0\r\n\r\n").getBytes("UTF-8")
+    assert(new String(Warc.httpBody(chunkedPayload), "UTF-8") == "<html>BODY!!")
+    // non-chunked path unchanged
+    assert(new String(Warc.httpBody(httpResponse("X")), "UTF-8") == "X")
+    // UTF-8 bytes in a header value (real Common-Crawl URIs carry them)
+    val uri = "https://x.edu/café"
+    val rs = Warc.records(new java.io.ByteArrayInputStream(
+      record("response", uri, "2024-03-01T00:00:00Z", httpResponse("y"))),
+      gzipped = false).toSeq
+    assert(rs.head.targetUri.contains(uri), s"got ${rs.head.targetUri}")
+  }
+
+  test("multi-member gzip survives an available()==0 underlying stream") {
+    // per-record gzip members (Common Crawl's layout), served by a
+    // stream whose available() lies — the JDK GZIPInputStream ends
+    // multi-member streams at any boundary where available()==0
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(b); g.close(); o.toByteArray
+    }
+    val members =
+      gz(record("response", "https://m.edu/1", "2024-03-01T00:00:00Z",
+        httpResponse(html1))) ++
+      gz(record("response", "https://m.edu/2", "2024-03-01T00:00:01Z",
+        httpResponse(html2)))
+    val lying = new java.io.FilterInputStream(
+        new java.io.ByteArrayInputStream(members)) {
+      override def available(): Int = 0
+    }
+    val rs = Warc.records(lying, gzipped = true).toSeq
+    assert(rs.map(_.targetUri.get) ==
+      Seq("https://m.edu/1", "https://m.edu/2"),
+      "second gzip member must not be silently dropped")
+  }
+
+  test("oversized records are skipped without buffering; later records survive") {
+    val big = record("response", "https://x.edu/huge", "2024-03-01T00:00:00Z",
+      httpResponse("Z" * 5000))
+    val small = record("response", "https://x.edu/ok", "2024-03-01T00:00:00Z",
+      httpResponse(html1))
+    val rs = Warc.records(new java.io.ByteArrayInputStream(big ++ small),
+      gzipped = false, maxRecordBytes = 1000).toSeq
+    assert(rs.map(_.targetUri.get) == Seq("https://x.edu/ok"))
+  }
+
   test("pages: response-only projection, date parsing, gzip; extraction runs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("warc_test")
