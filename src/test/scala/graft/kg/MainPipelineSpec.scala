@@ -43,6 +43,40 @@ class MainPipelineSpec extends AnyFunSuite {
     deleteRec(new java.io.File(dir))
   }
 
+  test("WARC files drive the full pipeline: crawl format -> edges") {
+    import org.apache.spark.sql.functions.col
+    // synthesize a 6-page WARC file with planted target names
+    def rec(id: Int): Array[Byte] = {
+      val html = "<html><body><div class=\"doc\"><p>faculty page " + id +
+        " zzjohn zzdoe office</p></div></body></html>"
+      val payload = ("HTTP/1.1 200 OK\r\n\r\n" + html).getBytes("UTF-8")
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://w.edu/p" + id + "\r\n" +
+        "WARC-Date: 2024-05-01T00:00:00Z\r\n" +
+        "Content-Length: " + payload.length + "\r\n\r\n").getBytes("UTF-8") ++
+        payload ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val wdir = java.nio.file.Files.createTempDirectory("warc_kg")
+    java.nio.file.Files.write(wdir.resolve("crawl-0.warc"),
+      (0 until 6).map(rec).reduce(_ ++ _))
+    val out = java.nio.file.Files.createTempDirectory("warc_kg_out").toString
+
+    val pages = graft.io.Warc.pages(spark, wdir.toString + "/*")
+    val edges = Main.runPages(spark, pages, None,
+      Some((_: String) => Seq("zzjohn zzdoe")), out, tagger = "gold")
+    val mentions = edges.filter(col("pred") === "mentionsPerson").collect()
+    assert(mentions.length == 6, s"one mention edge per crawled page")
+    assert(mentions.forall(_.getAs[String]("obj") == "zzjohn zzdoe"))
+    assert(mentions.map(_.getAs[String]("url")).distinct.length == 6)
+
+    def deleteRec(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(deleteRec)
+      p.delete()
+    }
+    deleteRec(wdir.toFile)
+    deleteRec(new java.io.File(out))
+  }
+
   test("bilstm:<weights> tagger drives the full pipeline end-to-end") {
     import spark.implicits._
     import graft.tag.{BiLstm, BiLstmCrfScorer, BiLstmWeightsIO}
