@@ -237,10 +237,7 @@ object Warc {
     spark.read.format("binaryFile").load(path)
       .select("path").as[String]
       .mapPartitions(_.flatMap { file =>
-        val p = new org.apache.hadoop.fs.Path(file)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val raw: InputStream = fs.open(p)
-        records(raw, file.endsWith(".gz"), cap)
+        fileRecords(file, cap)
           .filter(_.warcType == "response")
           .flatMap { r =>
             r.targetUri.map { uri =>
@@ -248,5 +245,35 @@ object Warc {
             }
           }
       })
+  }
+
+  /** WET variant (Common Crawl's extracted-text sibling format): the
+    * `conversion` records carry plain UTF-8 text, no HTTP head — they
+    * land in the `text` column with empty `html` (the extraction kernel
+    * is bypassed; WET is the crawl's own extraction, useful for the
+    * dedup/quality/ANN ops that consume `documents`-shaped text).
+    */
+  def wetPages(spark: SparkSession, path: String,
+      maxRecordBytes: Long = 64L * 1024 * 1024): Dataset[Page] = {
+    import spark.implicits._
+    val cap = maxRecordBytes
+    spark.read.format("binaryFile").load(path)
+      .select("path").as[String]
+      .mapPartitions(_.flatMap { file =>
+        fileRecords(file, cap)
+          .filter(_.warcType == "conversion")
+          .flatMap { r =>
+            r.targetUri.map { uri =>
+              Page(uri, parseDate(r.date), Array.emptyByteArray,
+                new String(r.payload, StandardCharsets.UTF_8), "")
+            }
+          }
+      })
+  }
+
+  private def fileRecords(file: String, cap: Long): Iterator[Record] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    records(fs.open(p), file.endsWith(".gz"), cap)
   }
 }

@@ -113,6 +113,20 @@ object BiLstm {
 
   // --- char CNN (models/char_representations.py:5-32, cnn.py:5-50) -----
 
+  /** Char-LSTM word representations (the reference's LSTMc variant,
+    * models/char_representations.py:34-52): Bi-LSTM over the word's
+    * char embeddings, concat of the FINAL hidden states.
+    */
+  final case class CharLstmWeights(
+      charVocab: Map[Char, Int],
+      charEmb: Array[Array[Float]], // OOV = last row
+      fw: CellWeights,
+      bw: CellWeights) {
+    def dim: Int = 2 * fw.units
+    def repr(word: String): Array[Float] =
+      Attention.charLstmRepr(charVocab, charEmb, fw, bw, word)
+  }
+
   final case class CharCnnWeights(
       charVocab: Map[Char, Int],
       charEmb: Array[Array[Float]], // [numChars][embSize]; OOV = last row
@@ -191,7 +205,8 @@ final case class BiLstmCrfScorer(
     bw: BiLstm.CellWeights,
     dense: Array[Array[Float]], // [2*units][numTags]
     denseBias: Array[Float],    // [numTags]
-    transition: Array[Array[Double]]) extends Serializable {
+    transition: Array[Array[Double]],
+    charLstm: Option[BiLstm.CharLstmWeights] = None) extends Serializable {
 
   def numTags: Int = denseBias.length
 
@@ -201,7 +216,9 @@ final case class BiLstmCrfScorer(
     val fDim = features.map(f => if (f.isEmpty) 0 else f.head.length).getOrElse(0)
     tokens.zipWithIndex.map { case (t, i) =>
       val e = wordEmb(vocab.getOrElse(t, wordEmb.length - 1))
-      val c = charCnn.map(BiLstm.charRepr(_, t)).getOrElse(Array.empty[Float])
+      val c = charCnn.map(BiLstm.charRepr(_, t))
+        .orElse(charLstm.map(_.repr(t)))
+        .getOrElse(Array.empty[Float])
       val x = new Array[Float](e.length + c.length + fDim)
       System.arraycopy(e, 0, x, 0, e.length)
       System.arraycopy(c, 0, x, e.length, c.length)
@@ -284,7 +301,8 @@ object BiLstmCrf {
     */
   def expectsFeatures(scorer: BiLstmCrfScorer): Boolean = {
     val base = scorer.wordEmb.head.length +
-      scorer.charCnn.map(_.filters).getOrElse(0)
+      scorer.charCnn.map(_.filters)
+        .orElse(scorer.charLstm.map(_.dim)).getOrElse(0)
     scorer.fw.inputSize == base + 7
   }
 

@@ -37,12 +37,20 @@ object BiLstmWeightsIO {
           c.kernel.zipWithIndex.flatMap { case (km, k) =>
             matRows(s"char_kernel_$k", km)
           }
+      } ++
+      scorer.charLstm.toSeq.flatMap { c =>
+        matRows("cl_emb", c.charEmb) ++
+          matRows("cl_fw_kernel", c.fw.kernel) ++ vecRow("cl_fw_bias", c.fw.bias) ++
+          matRows("cl_bw_kernel", c.bw.kernel) ++ vecRow("cl_bw_bias", c.bw.bias)
       }
     tensors.toDF("tensor", "row", "values")
       .repartition(1).write.mode("overwrite").parquet(s"$path/tensors")
     (scorer.vocab.toSeq.map { case (w, i) => ("word", w, i) } ++
       scorer.charCnn.toSeq.flatMap(_.charVocab.toSeq.map {
         case (c, i) => ("char", c.toString, i)
+      }) ++
+      scorer.charLstm.toSeq.flatMap(_.charVocab.toSeq.map {
+        case (c, i) => ("clchar", c.toString, i)
       }))
       .toDF("kind", "key", "id")
       .repartition(1).write.mode("overwrite").parquet(s"$path/vocab")
@@ -71,6 +79,15 @@ object BiLstmWeightsIO {
         Some(BiLstm.CharCnnWeights(charVocab, mat("char_emb"),
           ks.map(mat).toArray, vec("char_bias")))
       }
+    val charLstm =
+      if (!tensors.contains("cl_emb")) None
+      else {
+        val clVocab = vocabRows.filter(_.getString(0) == "clchar")
+          .map(r => r.getString(1).charAt(0) -> r.getInt(2)).toMap
+        Some(BiLstm.CharLstmWeights(clVocab, mat("cl_emb"),
+          BiLstm.CellWeights(mat("cl_fw_kernel"), vec("cl_fw_bias")),
+          BiLstm.CellWeights(mat("cl_bw_kernel"), vec("cl_bw_bias"))))
+      }
     BiLstmCrfScorer(
       vocab = wordVocab,
       wordEmb = mat("word_emb"),
@@ -79,7 +96,8 @@ object BiLstmWeightsIO {
       bw = BiLstm.CellWeights(mat("bw_kernel"), vec("bw_bias")),
       dense = mat("dense"),
       denseBias = vec("dense_bias"),
-      transition = mat("transition").map(_.map(_.toDouble)))
+      transition = mat("transition").map(_.map(_.toDouble)),
+      charLstm = charLstm)
   }
 
   /** The tensor table as a DataFrame (inspection / SQL surface). */

@@ -215,6 +215,42 @@ class BiLstmSpec extends AnyFunSuite {
     assert(scorer.decode(toks).toSeq == loaded.decode(toks).toSeq)
   }
 
+  test("char-LSTM reps wire into the scorer (LSTMc variant) and round-trip") {
+    val rng = new scala.util.Random(23)
+    def cell(in: Int, u: Int) = BiLstm.CellWeights(
+      Array.fill(in + u, 4 * u)((rng.nextDouble() - 0.5).toFloat),
+      Array.fill(4 * u)((rng.nextDouble() - 0.5).toFloat))
+    // char LSTM that saturates on 'a'-words (emb +4) vs 'z'-words (-4)
+    val satCell = BiLstm.CellWeights(
+      kernel = Array(Array(2f, 2f, 2f, 2f), Array(0f, 0f, 0f, 0f)),
+      bias = Array(0f, 0f, 0f, 0f))
+    val cl = BiLstm.CharLstmWeights(
+      charVocab = Map('a' -> 0, 'z' -> 1),
+      charEmb = Array(Array(4.0f), Array(-4.0f), Array(0.0f)),
+      fw = satCell, bw = satCell)
+    def mainCell(in: Int) = BiLstm.CellWeights(
+      kernel = Array.tabulate(in + 1, 4)((r, _) => if (r < in) 3.0f else 0f),
+      bias = Array(0f, 0f, 0f, 0f))
+    val scorer = BiLstmCrfScorer(
+      vocab = Map.empty, wordEmb = Array(Array(0.0f)), charCnn = None,
+      fw = mainCell(3), bw = mainCell(3), // 1 emb + 2 char-lstm dims
+      dense = Array(Array(0f, 8f), Array(0f, 8f)),
+      denseBias = Array(0f, -6f),
+      transition = Array(Array(0.0, 0.0), Array(0.0, 0.0)),
+      charLstm = Some(cl))
+    assert(BiLstmCrf.expectsFeatures(scorer) == false)
+    val got = scorer.decode(Seq("aaa", "zzz", "aa"))
+    assert(got.toSeq == Seq(1, 0, 1), s"char-LSTM signal must separate: ${got.toSeq}")
+    // parquet round-trip preserves the char-LSTM decode
+    val dir = java.nio.file.Files.createTempDirectory("blw_cl").toString
+    BiLstmWeightsIO.save(spark, scorer, dir)
+    val loaded = BiLstmWeightsIO.load(spark, dir)
+    assert(loaded.charLstm.get.charVocab == cl.charVocab)
+    assert(loaded.decode(Seq("aaa", "zzz", "aa")).toSeq == got.toSeq)
+    assert(loaded.logitsOf(Seq("aza")).map(_.toSeq).toSeq ==
+      scorer.logitsOf(Seq("aza")).map(_.toSeq).toSeq)
+  }
+
   test("glove import: vocab filter, alignment, zero rows, parquet round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("glove_test")
     val f = dir.resolve("glove.txt")
