@@ -102,11 +102,16 @@ object Warc {
   /** Streaming record iterator over a (possibly gzipped) WARC stream.
     * Records whose Content-Length exceeds `maxRecordBytes` are skipped
     * without buffering (the WARC spec allows >2 GB payloads; one
-    * pathological record must not OOM a 100 TB scan). The stream is
-    * closed when the iterator is exhausted.
+    * pathological record must not OOM a 100 TB scan) and REPORTED
+    * through `onSkip` — the default (everything kept) preserves the
+    * original lossless contract of this API; the dataset readers cap at
+    * 64 MB and surface skips via an accumulator. Payloads above
+    * Int.MaxValue cannot be buffered on the JVM and always skip. The
+    * stream is closed when the iterator is exhausted.
     */
   def records(raw: InputStream, gzipped: Boolean,
-      maxRecordBytes: Long = 64L * 1024 * 1024): Iterator[Record] = {
+      maxRecordBytes: Long = Long.MaxValue,
+      onSkip: Long => Unit = _ => ()): Iterator[Record] = {
     val in = new BufferedInputStream(
       if (gzipped) new GZIPInputStream(new PeekAvailable(raw), 1 << 16)
       else raw, 1 << 16)
@@ -136,6 +141,7 @@ object Warc {
             val hm = headers.result()
             val len = hm.getOrElse("content-length", "0").toLong
             if (len > maxRecordBytes || len > Int.MaxValue - 8) {
+              onSkip(len)
               skipFully(in, len)
               advance() // oversized record: skip, never buffer
             } else Some(Record(hm, readFully(in, len.toInt)))
@@ -153,6 +159,21 @@ object Warc {
         r
       }
     }
+  }
+
+  private val TeBytes = "transfer-encoding:".getBytes(StandardCharsets.US_ASCII)
+
+  /** Case-insensitive byte match of "transfer-encoding:" at line start. */
+  private def isTeLine(b: Array[Byte], start: Int, end: Int): Boolean = {
+    if (end - start < TeBytes.length) return false
+    var i = 0
+    while (i < TeBytes.length) {
+      var c = b(start + i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+      if (c != TeBytes(i)) return false
+      i += 1
+    }
+    true
   }
 
   /** De-frame a `Transfer-Encoding: chunked` HTTP body (hex size line,
@@ -197,13 +218,14 @@ object Warc {
         val atCrlfCrlf = i >= 3 && payload(i - 1) == '\r' &&
           payload(i - 2) == '\n' && payload(i - 3) == '\r'
         val atLfLf = i >= 1 && payload(i - 1) == '\n'
-        // inspect the completed header line for Transfer-Encoding
+        // inspect the completed header line for Transfer-Encoding —
+        // byte-level case-insensitive prefix check so the hot path
+        // allocates nothing for ordinary header lines
         val end = if (i > lineStart && payload(i - 1) == '\r') i - 1 else i
-        if (end > lineStart) {
+        if (end > lineStart && isTeLine(payload, lineStart, end)) {
           val l = new String(payload, lineStart, end - lineStart,
             StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
-          if (l.startsWith("transfer-encoding:") && l.contains("chunked"))
-            chunked = true
+          if (l.contains("chunked")) chunked = true
         }
         if (atCrlfCrlf || atLfLf) {
           val body = java.util.Arrays.copyOfRange(payload, i + 1, payload.length)
@@ -231,21 +253,13 @@ object Warc {
     * with default or cluster-provided configuration).
     */
   def pages(spark: SparkSession, path: String,
-      maxRecordBytes: Long = 64L * 1024 * 1024): Dataset[Page] = {
-    import spark.implicits._
-    val cap = maxRecordBytes
-    spark.read.format("binaryFile").load(path)
-      .select("path").as[String]
-      .mapPartitions(_.flatMap { file =>
-        fileRecords(file, cap)
-          .filter(_.warcType == "response")
-          .flatMap { r =>
-            r.targetUri.map { uri =>
-              Page(uri, parseDate(r.date), httpBody(r.payload), "", "")
-            }
-          }
-      })
-  }
+      maxRecordBytes: Long = 64L * 1024 * 1024,
+      skipped: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Page] =
+    warcDataset(spark, path, maxRecordBytes, "response", skipped) { r =>
+      r.targetUri.map { uri =>
+        Page(uri, parseDate(r.date), httpBody(r.payload), "", "")
+      }
+    }
 
   /** WET variant (Common Crawl's extracted-text sibling format): the
     * `conversion` records carry plain UTF-8 text, no HTTP head — they
@@ -254,26 +268,54 @@ object Warc {
     * dedup/quality/ANN ops that consume `documents`-shaped text).
     */
   def wetPages(spark: SparkSession, path: String,
-      maxRecordBytes: Long = 64L * 1024 * 1024): Dataset[Page] = {
+      maxRecordBytes: Long = 64L * 1024 * 1024,
+      skipped: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Page] =
+    warcDataset(spark, path, maxRecordBytes, "conversion", skipped) { r =>
+      r.targetUri.map { uri =>
+        Page(uri, parseDate(r.date), Array.emptyByteArray,
+          new String(r.payload, StandardCharsets.UTF_8), "")
+      }
+    }
+
+  /** Shared task plumbing for [[pages]]/[[wetPages]]:
+    *  - the SESSION Hadoop configuration (spark.hadoop.* credentials,
+    *    endpoints) is broadcast to tasks as key/value pairs — a blank
+    *    `new Configuration()` on the executor would not see them;
+    *  - each file's stream is registered with the TaskContext so early
+    *    termination (limit/take) or a parse exception cannot leak the
+    *    handle (s3a streams pin pooled HTTP connections);
+    *  - oversized-record skips are counted in the optional accumulator
+    *    and logged, never silent.
+    */
+  private def warcDataset(spark: SparkSession, path: String, cap: Long,
+      wantedType: String,
+      skipped: Option[org.apache.spark.util.LongAccumulator])(
+      project: Record => Option[Page]): Dataset[Page] = {
     import spark.implicits._
-    val cap = maxRecordBytes
+    import scala.jdk.CollectionConverters._
+    val confKv: Array[(String, String)] =
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    val bConf = spark.sparkContext.broadcast(confKv)
     spark.read.format("binaryFile").load(path)
       .select("path").as[String]
-      .mapPartitions(_.flatMap { file =>
-        fileRecords(file, cap)
-          .filter(_.warcType == "conversion")
-          .flatMap { r =>
-            r.targetUri.map { uri =>
-              Page(uri, parseDate(r.date), Array.emptyByteArray,
-                new String(r.payload, StandardCharsets.UTF_8), "")
-            }
-          }
-      })
-  }
-
-  private def fileRecords(file: String, cap: Long): Iterator[Record] = {
-    val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    records(fs.open(p), file.endsWith(".gz"), cap)
+      .mapPartitions { files =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        bConf.value.foreach { case (k, v) => conf.set(k, v) }
+        files.flatMap { file =>
+          val p = new org.apache.hadoop.fs.Path(file)
+          val raw = p.getFileSystem(conf).open(p)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try raw.close() catch { case _: Throwable => () }))
+          records(raw, file.endsWith(".gz"), cap, len => {
+            skipped.foreach(_.add(1))
+            org.slf4j.LoggerFactory.getLogger(Warc.getClass)
+              .warn(s"skipping oversized WARC record ($len bytes > $cap) in $file")
+          })
+            .filter(_.warcType == wantedType)
+            .flatMap(project)
+        }
+      }
   }
 }

@@ -93,6 +93,22 @@ class WarcSpec extends AnyFunSuite {
     val rs = Warc.records(new java.io.ByteArrayInputStream(big ++ small),
       gzipped = false, maxRecordBytes = 1000).toSeq
     assert(rs.map(_.targetUri.get) == Seq("https://x.edu/ok"))
+    // unbounded default keeps everything (the lossless records() contract)
+    assert(Warc.records(new java.io.ByteArrayInputStream(big ++ small),
+      gzipped = false).size == 2)
+    // dataset level: skips surface in the accumulator, not silently
+    val dir = java.nio.file.Files.createTempDirectory("warc_skip")
+    java.nio.file.Files.write(dir.resolve("f.warc"), big ++ small)
+    val acc = spark.sparkContext.longAccumulator("warc_skipped")
+    val ps = Warc.pages(spark, dir.toString + "/*", maxRecordBytes = 1000,
+      skipped = Some(acc)).collect()
+    assert(ps.map(_.url).toSeq == Seq("https://x.edu/ok"))
+    assert(acc.value == 1L, "the dropped record must be counted")
+    def deleteRec(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(deleteRec)
+      p.delete()
+    }
+    deleteRec(dir.toFile)
   }
 
   test("wetPages: conversion records project extracted text, no html") {
