@@ -556,6 +556,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Canonicalization oracled (GraphX connected components + salted
+    // canonical election, previously LinkSpec-only): the vocabulary as
+    // a names table, links = consecutive same-first-letter tokens in
+    // sorted order, so every CC is exactly a first-letter group —
+    // closed-form in SQL. Election = max(support, name) per component,
+    // aliases/support aggregated through the salted two-phase path.
+    "kg_canonicalize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val names = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("name"))
+        .filter(length(col("name")) > 0)
+        .groupBy("name").agg(count(lit(1)).as("support"))
+      val w = Window.orderBy("name") // 31-term vocab: tiny single window
+      val links = names
+        .withColumn("prev", lag(col("name"), 1).over(w))
+        .filter(col("prev").isNotNull &&
+          substring(col("prev"), 1, 1) === substring(col("name"), 1, 1))
+        .select(col("prev").as("name_a"), col("name").as("name_b"))
+      val membership = graft.kg.Canonicalize.components(s, links)
+      graft.kg.Canonicalize.entities(s, names, membership)
+        .select(col("canonical_name"),
+          size(col("aliases")).cast("long").as("n_aliases"),
+          col("support"))
+        .orderBy("canonical_name")
+    }),
+
     // W11 oracled: the Bi-LSTM-CRF forward pass (TF LSTMCell semantics,
     // recurrent state NOT disabled) with fixed saturating weights — the
     // planted 'zzalice' token drives the gates to saturation (h~0.76 ->
@@ -793,6 +819,24 @@ object SparkEntry {
         |FROM (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n
         |      FROM documents)
         |WHERE n >= 13 ORDER BY doc_id""".stripMargin,
+    "kg_canonicalize" ->
+      """WITH v AS (
+        |  SELECT tkn AS name, COUNT(*) AS support FROM (
+        |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tkn FROM documents)
+        |  WHERE LENGTH(tkn) > 0 GROUP BY tkn),
+        |g AS (SELECT substr(name, 1, 1) AS grp, name, support FROM v),
+        |ranked AS (
+        |  SELECT grp, name,
+        |    ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY support DESC, name DESC) AS rn
+        |  FROM g),
+        |agg AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_aliases,
+        |    CAST(SUM(support) AS BIGINT) AS support
+        |  FROM g GROUP BY grp)
+        |SELECT r.name AS canonical_name, a.n_aliases, a.support
+        |FROM ranked r JOIN agg a USING (grp) WHERE r.rn = 1
+        |ORDER BY canonical_name""".stripMargin,
     "kg_bilstm_decode" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 8
