@@ -29,14 +29,19 @@ object Main {
 
     // pagesSrc: "ref" (reference corpus), "synth:N" (seeded synthetic
     // corpus of N pages), "warc:<glob>" (Common-Crawl WARC files), or a
-    // parquet path
+    // parquet path. One skip accumulator covers BOTH oversized WARC
+    // records and oversized/unparseable pages in the extract kernel —
+    // surfaced in the sentences stage's lineage rows, not just
+    // executor logs.
+    val skipped = spark.sparkContext.longAccumulator("skipped_inputs")
     val pages =
       if (pagesSrc == "ref") RefCorpus.pages(spark)
       else if (pagesSrc.startsWith("synth:"))
         graft.corpus.SyntheticCorpus.pages(spark,
           pagesSrc.stripPrefix("synth:").toLong)
       else if (pagesSrc.startsWith("warc:"))
-        graft.io.Warc.pages(spark, pagesSrc.stripPrefix("warc:"))
+        graft.io.Warc.pages(spark, pagesSrc.stripPrefix("warc:"),
+          skipped = Some(skipped))
       else spark.read.parquet(pagesSrc).as[Page]
 
     val names =
@@ -53,7 +58,8 @@ object Main {
     // cardinality grows with the corpus); the reference corpus keeps
     // minCount=1 for exact parity with the published protocol
     val stMinCount = if (pagesSrc == "ref") 1L else 2L
-    runPages(spark, pages, names, namesFn, outDir, tagger, stMinCount)
+    runPages(spark, pages, names, namesFn, outDir, tagger, stMinCount,
+      skipped = Some(skipped))
   }
 
   /** Pipeline over a prepared pages Dataset (also the test seam: the
@@ -63,7 +69,8 @@ object Main {
   def runPages(spark: SparkSession, pages: org.apache.spark.sql.Dataset[Page],
       names: Option[org.apache.spark.broadcast.Broadcast[Map[String, Seq[String]]]],
       namesFn: Option[String => Seq[String]], outDir: String,
-      tagger: String, stMinCount: Long = 1L): DataFrame = {
+      tagger: String, stMinCount: Long = 1L,
+      skipped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
     val stages = new Stages(spark, outDir)
 
@@ -77,9 +84,11 @@ object Main {
     // lineage context field (it is an upper bound on a flaky run,
     // exact otherwise), not for correctness decisions.
     val inputPages = spark.sparkContext.longAccumulator("input_pages")
-    val sents = stages.stage("sentences", inputPages.value) {
+    val skipAcc = skipped.getOrElse(
+      spark.sparkContext.longAccumulator("skipped_inputs"))
+    val sents = stages.stage("sentences", inputPages.value, skipAcc.value) {
       ExtractStage.sentences(spark, pages, names, targetNamesFn = namesFn,
-        inputPages = Some(inputPages)).toDF()
+        skipped = Some(skipAcc), inputPages = Some(inputPages)).toDF()
     }
 
     // fit at most once even though two stages decode (mentions and

@@ -27,10 +27,12 @@ final class Stages(spark: SparkSession, base: String) {
   def lineage(): DataFrame =
     spark.read.parquet(lineagePath)
 
-  /** Run (or resume) one stage. `inputRows` is recorded in lineage; pass
-    * -1 when unknown.
+  /** Run (or resume) one stage. `inputRows`/`skippedRows` are recorded
+    * in lineage (evaluated AFTER the stage materializes, so accumulator
+    * values are populated); pass -1 when unknown.
     */
-  def stage(name: String, inputRows: => Long = -1L)(compute: => DataFrame): DataFrame = {
+  def stage(name: String, inputRows: => Long = -1L,
+      skippedRows: => Long = -1L)(compute: => DataFrame): DataFrame = {
     val dir = s"$base/$name"
     if (successExists(dir)) {
       spark.read.parquet(dir)
@@ -41,6 +43,7 @@ final class Stages(spark: SparkSession, base: String) {
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val out = spark.read.parquet(dir)
       val inRows = inputRows
+      val skipRows = skippedRows
       val perPartition = out
         .groupBy(spark_partition_id().as("partition_id"))
         .agg(count(lit(1)).as("output_rows"))
@@ -48,6 +51,7 @@ final class Stages(spark: SparkSession, base: String) {
           lit(name).as("stage"),
           col("partition_id"),
           lit(inRows).as("input_rows"),
+          lit(skipRows).as("skipped_rows"),
           col("output_rows"),
           lit(wallMs).as("wall_ms"))
       perPartition.write.mode("append").parquet(lineagePath)

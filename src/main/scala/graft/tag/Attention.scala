@@ -2,9 +2,13 @@ package graft.tag
 
 /** Attention kernels and HTML/CSS representations — the paper's ablation
   * variants around the Bi-LSTM-CRF core, inference semantics only
-  * (dropout = identity; the reference's masking/residual/normalize lines
-  * are commented out in `models/attention.py:100-151` and are therefore
-  * NOT applied here either):
+  * (dropout = identity). Masking/normalize lines are commented out in
+  * `models/attention.py` and are therefore NOT applied here either. The
+  * residual differs between the two kernels IN the reference: commented
+  * out in `attention()` (:146-149) but LIVE in `exact_attention()`
+  * (:181-184), and `html_attention` (model.py:196,223) calls the latter
+  * with the default `residual='add'` — so [[Attention.exactAttention]]
+  * adds the raw values back while [[Attention.multiHead]] does not.
   *
   *  - [[Attention.multiHead]]: `attention()` (models/attention.py:100-151)
   *    — Q/K/V dense projections, feature-axis head split, scaled
@@ -12,7 +16,8 @@ package graft.tag
   *    dim), softmax over keys, per-head weighted sum, head concat.
   *  - [[Attention.exactAttention]]: `exact_attention()` (:152-187) —
   *    scores are 1 where the full query/key vectors are equal else 0
-  *    (`exact_match`, :121-130), softmax, weighted sum of dense(values).
+  *    (`exact_match`, :121-130), softmax, weighted sum of dense(values),
+  *    plus the residual add of the raw values.
   *  - [[Attention.charLstmRepr]]: `lstm_char_representations()`
   *    (models/char_representations.py:34-52) — Bi-LSTM over the word's
   *    char embeddings, concat of the FINAL hidden states (not per-step
@@ -109,16 +114,28 @@ object Attention {
 
   /** Exact-match attention: score(q, k) = 1 when the raw vectors are
     * element-wise equal else 0, softmax over keys, weighted sum of
-    * dense(values).
+    * dense(values), then the RESIDUAL ADD of the raw values —
+    * `exact_attention`'s residual lines are live in the reference
+    * (models/attention.py:181-184, called with the default
+    * `residual='add'` from model.py:223), unlike `attention()`'s which
+    * are commented out. The dense projection maps values to their own
+    * dimensionality in the reference (`output_size = values.shape[2]`),
+    * which the residual requires; query index i adds values(i), so the
+    * query count must not exceed the value count (they are the same
+    * per-token sequence at the call site).
     */
   def exactAttention(queries: Array[Array[Double]], keys: Array[Array[Double]],
       values: Array[Array[Double]], wv: Dense): Array[Array[Double]] = {
+    require(values.isEmpty || wv.out == values(0).length,
+      s"residual add needs dense(out=${wv.out}) == values dim ${values(0).length}")
+    require(queries.length <= values.length,
+      "residual add pairs query i with values(i)")
     val v = wv(values)
-    queries.map { qv =>
+    queries.zipWithIndex.map { case (qv, qi) =>
       val scores = keys.map(kv =>
         if (java.util.Arrays.equals(qv, kv)) 1.0 else 0.0)
       softmaxInPlace(scores)
-      val o = new Array[Double](wv.out)
+      val o = values(qi).clone()
       var tj = 0
       while (tj < keys.length) {
         val a = scores(tj)

@@ -43,6 +43,35 @@ class MainPipelineSpec extends AnyFunSuite {
     deleteRec(new java.io.File(dir))
   }
 
+  test("oversized-page skips are counted in the sentences lineage row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_main_skip").toString
+    def page(i: Int, html: String) = graft.spark.Page(
+      s"doc://skip/$i", new java.sql.Timestamp(0L),
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      "", "en")
+    val big = "<html><body><p>" + ("x" * (9 * 1024 * 1024)) + "</p></body></html>"
+    val ok = "<html><body><div class=\"doc\"><p>faculty zzjohn zzdoe here</p></div></body></html>"
+    val pages = spark.createDataset(
+      (0 until 5).map(i => page(i, ok)) :+ page(99, big))
+    val skipAcc = spark.sparkContext.longAccumulator("skip_test")
+    val edges = Main.runPages(spark, pages, None,
+      Some((_: String) => Seq("zzjohn zzdoe")), dir, tagger = "gold",
+      skipped = Some(skipAcc))
+    assert(edges.count() > 0)
+    val lin = new Stages(spark, dir).lineage()
+    val skipped = lin.filter(col("stage") === "sentences")
+      .select(max(col("skipped_rows"))).head().getLong(0)
+    assert(skipped == 1L, s"lineage skipped_rows $skipped != 1")
+    assert(skipAcc.value == 1L)
+
+    def deleteRec(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(deleteRec)
+      p.delete()
+    }
+    deleteRec(new java.io.File(dir))
+  }
+
   test("WARC files drive the full pipeline: crawl format -> edges") {
     import org.apache.spark.sql.functions.col
     // synthesize a 6-page WARC file with planted target names

@@ -57,7 +57,10 @@ class AttentionSpec extends AnyFunSuite {
     }
   }
 
-  test("exact-match attention averages the values of equal keys") {
+  test("exact-match attention averages equal-key values + residual add") {
+    // exact_attention's residual lines are LIVE in the reference
+    // (attention.py:181-184, residual='add' at model.py:223): the raw
+    // value vector of the query's own position is added back.
     val q = Array(Array(1.0, 2.0), Array(9.0, 9.0))
     val k = Array(Array(1.0, 2.0), Array(1.0, 2.0), Array(3.0, 4.0))
     val v = Array(Array(6.0), Array(12.0), Array(300.0))
@@ -65,9 +68,9 @@ class AttentionSpec extends AnyFunSuite {
     // q0 matches k0,k1: scores [1,1,0] -> softmax [e,e,1]/(2e+1)
     val e = math.exp(1.0)
     val a = e / (2 * e + 1); val b = 1.0 / (2 * e + 1)
-    assert(math.abs(got(0)(0) - (a * 6 + a * 12 + b * 300)) < 1e-10)
-    // q1 matches nothing: uniform average
-    assert(math.abs(got(1)(0) - (6.0 + 12.0 + 300.0) / 3) < 1e-10)
+    assert(math.abs(got(0)(0) - (a * 6 + a * 12 + b * 300 + 6.0)) < 1e-10)
+    // q1 matches nothing: uniform average, + its own value v(1)=12
+    assert(math.abs(got(1)(0) - ((6.0 + 12.0 + 300.0) / 3 + 12.0)) < 1e-10)
   }
 
   test("char-LSTM repr takes FINAL states, not per-step outputs") {
