@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fnv1a64
 
@@ -16,11 +17,17 @@ import graft.functions.Fnv1a64
   * members sorted by a content key, each member paired with its next
   * `hotChain` neighbors. That bounds the work at O(n*hotChain) per
   * bucket and keeps the bucket CONNECTED for transitive
-  * connected-component dedup. Recall guarantees inside a hot bucket:
-  * BYTE-IDENTICAL documents share the content key and sort adjacent,
-  * so exact-copy pairs always survive; merely near-identical pairs
-  * sort at unrelated positions (the key is an avalanche hash of the
-  * full signature) and are found only with ~hotChain/bucket
+  * connected-component dedup. Crucially, a hot bucket is NEVER
+  * materialized as one row: only in-limit buckets pass through a
+  * `collect_list` (bounded by `maxBucket` members, ids + an 8-byte
+  * content key each); hot buckets are chain-paired with `lead()` over a
+  * sorted window, which streams through Spark's external sort — a
+  * degenerate key over 10^7 documents costs one spillable sort, not one
+  * 10^7-element aggregation buffer. Recall guarantees inside a hot
+  * bucket: BYTE-IDENTICAL documents share the content key and sort
+  * adjacent, so exact-copy pairs always survive; merely near-identical
+  * pairs sort at unrelated positions (the key is an avalanche hash of
+  * the full signature) and are found only with ~hotChain/bucket
   * probability — which is why every function reports
   * (buckets, hot_buckets, max_bucket) through an [[Observation]]: a
   * non-zero hot_buckets count is the signal to split the key space
@@ -41,23 +48,65 @@ object Dedup {
       size(array_union(sa, sb)).cast("double")
   }
 
-  /** Per-pair slice length for the bucket expansion: all remaining
-    * members when the bucket is within `maxBucket`, else the next
-    * `hotChain` members of the sorted bucket (chain pairing).
+  /** Within-bucket candidate pairs with a bounded memory footprint.
+    *
+    * Input: a frame with the bucket key columns `keys` and one struct
+    * column `m` whose LEADING field is the content sort key (an
+    * avalanche hash of the full signature — byte-identical documents
+    * share it and therefore sort adjacent). Output: (m_a, m_b) struct
+    * pairs, m_a strictly before m_b in the bucket's sort order.
+    *
+    * Two paths, split by the bucket's size (computed by a window count
+    * over the bucket key — same exchange as the pairing itself, no
+    * extra shuffle of the banded stream):
+    *  - size <= maxBucket: all pairs, via a `collect_list` whose row is
+    *    bounded by maxBucket small structs;
+    *  - size > maxBucket: chain pairs, via `lead(m, 1..hotChain)` over
+    *    the sorted window. No aggregation row ever holds the bucket:
+    *    the window sort is Spark's spillable external sort, so one
+    *    degenerate key over the whole corpus streams through O(n log n)
+    *    with bounded memory instead of building an n-element (or, with
+    *    payloads, multi-GB) aggregation buffer.
+    *
+    * Both branches share the single exchange on `keys` (exchange
+    * reuse); the Observation reports exact (buckets, hot_buckets,
+    * max_bucket) via first-row markers.
     */
-  private def sliceLenSql(arr: String, maxBucket: Int, hotChain: Int): String =
-    s"IF(size($arr) <= $maxBucket, size($arr) - i - 1, " +
-      s"least($hotChain, size($arr) - i - 1))"
-
-  /** Attach the hot-bucket observation to a buckets frame. */
-  private def observed(buckets: DataFrame, maxBucket: Int,
-      metrics: Option[Observation]): DataFrame = metrics match {
-    case None => buckets
-    case Some(obs) => buckets.observe(obs,
-      count(lit(1)).as("buckets"),
-      sum(when(size(col("members")) > maxBucket, 1L).otherwise(0L))
-        .as("hot_buckets"),
-      max(size(col("members"))).as("max_bucket"))
+  private def boundedBucketPairs(df: DataFrame, keys: Seq[String],
+      maxBucket: Int, hotChain: Int,
+      metrics: Option[Observation]): DataFrame = {
+    val kcols = keys.map(col)
+    val wC = Window.partitionBy(kcols: _*).orderBy(col("m"))
+    val wAll = wC.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sized = df
+      .withColumn("bsz", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wC))
+      .filter(col("bsz") >= 2)
+    // the observe node sits below the branch fork; each branch streams
+    // the full sized frame through its own copy of the node, so either
+    // copy reports the complete, correct metrics
+    val flagged = metrics match {
+      case None => sized
+      case Some(obs) => sized.observe(obs,
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("buckets"),
+        sum(when(col("rn") === 1 && col("bsz") > maxBucket, 1L)
+          .otherwise(0L)).as("hot_buckets"),
+        max(col("bsz")).as("max_bucket"))
+    }
+    val normal = flagged.filter(col("bsz") <= maxBucket)
+      .groupBy(kcols: _*)
+      .agg(array_sort(collect_list(col("m"))).as("members"))
+      .select(explode(expr(
+        """flatten(transform(members, (m, i) ->
+          |  transform(slice(members, i + 2, size(members) - i - 1),
+          |    o -> struct(m as m_a, o as m_b))))""".stripMargin)).as("p"))
+      .select(col("p.m_a"), col("p.m_b"))
+    val leads = (1 to hotChain).map(k => lead(col("m"), k).over(wC))
+    val hot = flagged.filter(col("bsz") > maxBucket)
+      .select(col("m"), array(leads: _*).as("os"))
+      .select(col("m").as("m_a"), explode(col("os")).as("m_b"))
+      .filter(col("m_b").isNotNull)
+    normal.unionByName(hot)
   }
 
   /** Distinct word n-grams of a text as a column. Texts shorter than n
@@ -138,23 +187,15 @@ object Dedup {
         s"b -> hash(slice(sig, b * $rows + 1, $rows)))")))
       .toDF("id", "sighash", "band", "bandkey")
 
-    val buckets = observed(banded
-      .groupBy("band", "bandkey")
-      .agg(array_sort(collect_list(struct(col("sighash"), col("id"))))
-        .as("members"))
-      .filter(size(col("members")) >= 2), maxBucket, metrics)
-
     // sort by (sighash, id): in a hot bucket, byte-identical documents
     // share a sighash and sort adjacent, so chain pairing still finds
     // every exact-duplicate pair
-    val candidates = buckets.select(explode(expr(
-      s"""flatten(transform(members, (m, i) ->
-        |  transform(slice(members, i + 2,
-        |      ${sliceLenSql("members", maxBucket, hotChain)}),
-        |    o -> struct(least(m.id, o.id) as id_a,
-        |                greatest(m.id, o.id) as id_b))))""".stripMargin))
-      .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    val candidates = boundedBucketPairs(
+      banded.select(col("band"), col("bandkey"),
+        struct(col("sighash"), col("id")).as("m")),
+      Seq("band", "bandkey"), maxBucket, hotChain, metrics)
+      .select(least(col("m_a.id"), col("m_b.id")).as("id_a"),
+        greatest(col("m_a.id"), col("m_b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     // Jaccard-verify by joining the candidate ids back to the texts:
@@ -176,7 +217,11 @@ object Dedup {
   // --- embedding-cosine near-dup -----------------------------------------
 
   /** Near-duplicate pairs by embedding cosine: SRP-LSH buckets bound the
-    * candidate set; norms precomputed per row. Buckets over `maxBucket`
+    * candidate set; norms precomputed per row. The bucket stream carries
+    * (ekey, id) ONLY — embeddings are joined back by id for the cosine
+    * verify (two hash joins on an 8-byte key, the same shape as the
+    * MinHash Jaccard verify), so neither the shuffle nor any aggregation
+    * row ever holds an embedding vector. Buckets over `maxBucket`
     * chain-pair on the embedding hash (exact copies sort adjacent), so
     * clustered corpora stay bounded without losing exact-duplicate
     * recall — see the class doc.
@@ -189,23 +234,29 @@ object Dedup {
     val b = embeddings.select(col("vec_id").cast("long").as("id"),
         col("embedding"))
       .withColumn("bucket", sigUdf(col("embedding")))
-      .withColumn("norm", Similarity.normCol(col("embedding")))
-    val buckets = observed(b.groupBy("bucket")
-      .agg(array_sort(collect_list(struct(hash(col("embedding")).as("ekey"),
-          col("id"), col("embedding"), col("norm"))))
-        .as("members"))
-      .filter(size(col("members")) >= 2), maxBucket, metrics)
-    graft.functions.GraftFunctions.register(spark)
-    buckets.select(explode(expr(
-      s"""flatten(transform(members, (m, i) ->
-        |  transform(slice(members, i + 2,
-        |      ${sliceLenSql("members", maxBucket, hotChain)}),
-        |    o -> struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
-        |      dot_f32(m.embedding, o.embedding)
-        |        / (m.norm * o.norm) as cosine))))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
+    val candidates = boundedBucketPairs(
+      b.select(col("bucket"),
+        struct(hash(col("embedding")).as("ekey"), col("id")).as("m")),
+      Seq("bucket"), maxBucket, hotChain, metrics)
+      .select(least(col("m_a.id"), col("m_b.id")).as("id_a"),
+        greatest(col("m_a.id"), col("m_b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    graft.functions.GraftFunctions.register(spark)
+    // the verify side never needs the SRP bucket: derive it from the
+    // input directly so the scan for the join-back carries no UDF
+    val side = embeddings.select(col("vec_id").cast("long").as("id"),
+        col("embedding"))
+      .withColumn("norm", Similarity.normCol(col("embedding")))
+    candidates
+      .join(side.toDF("id_a", "emb_a", "norm_a"), "id_a")
+      .join(side.toDF("id_b", "emb_b", "norm_b"), "id_b")
+      // duplicate vec_ids would fan a candidate pair out; keep one
+      // representative per id pair like the MinHash verify does
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", call_function("dot_f32", col("emb_a"), col("emb_b"))
+        / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
   }
 
   // --- SimHash ------------------------------------------------------------
@@ -254,19 +305,13 @@ object Dedup {
       explode(expr("transform(sequence(0, 3), b -> " +
         "struct(b as blk, shiftright(simhash, b * 16) & 65535 as key))")).as("e"))
       .select(col("id"), col("simhash"), col("e.blk"), col("e.key"))
-    val buckets = observed(blocked
-      .groupBy("blk", "key")
-      .agg(array_sort(collect_list(struct(col("simhash"), col("id"))))
-        .as("members"))
-      .filter(size(col("members")) >= 2), maxBucket, metrics)
-    val pairs = buckets.select(explode(expr(
-      s"""flatten(transform(members, (m, i) ->
-        |  transform(slice(members, i + 2,
-        |      ${sliceLenSql("members", maxBucket, hotChain)}),
-        |    o -> struct(least(m.id, o.id) as id_a, greatest(m.id, o.id) as id_b,
-        |                m.simhash as sh_a, o.simhash as sh_b))))""".stripMargin))
-      .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
+    val pairs = boundedBucketPairs(
+      blocked.select(col("blk"), col("key"),
+        struct(col("simhash"), col("id")).as("m")),
+      Seq("blk", "key"), maxBucket, hotChain, metrics)
+      .select(least(col("m_a.id"), col("m_b.id")).as("id_a"),
+        greatest(col("m_a.id"), col("m_b.id")).as("id_b"),
+        col("m_a.simhash").as("sh_a"), col("m_b.simhash").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
     pairs
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))

@@ -125,7 +125,30 @@ class OpsSpec extends AnyFunSuite {
     // the metric reports the hot bucket instead of silently degrading
     val m = obs.get
     assert(m("hot_buckets").asInstanceOf[Long] >= 1L)
-    assert(m("max_bucket").asInstanceOf[Int] == n)
+    assert(m("max_bucket").asInstanceOf[Long] == n)
+  }
+
+  test("degenerate key at 1e5 identical docs: bounded, complete exact recall") {
+    import spark.implicits._
+    // 100k byte-identical documents: every band of every doc lands in
+    // ONE bucket. The old formulation collected the whole bucket into a
+    // single aggregation row; the bounded path must stream it (lead()
+    // over an external sort), report the hot bucket via the
+    // Observation, and still chain every exact copy into one component.
+    val n = 100000
+    val hot = spark.range(n).select(col("id").as("doc_id"),
+      lit("boilerplate nav footer copyright terms privacy contact").as("text"))
+    val obs = new org.apache.spark.sql.Observation("lsh_degenerate")
+    val pairs = Dedup.minhashLshPairs(spark, hot, minJaccard = 0.7,
+        maxBucket = 1000, hotChain = 4, metrics = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size <= n.toLong * 5,
+      s"degenerate bucket exploded: ${pairs.size} pairs")
+    assert(componentsOf(0L until n.toLong, pairs) == 1,
+      "chain pairing must keep all exact copies in one component")
+    val m = obs.get
+    assert(m("max_bucket").asInstanceOf[Long] == n)
+    assert(m("hot_buckets").asInstanceOf[Long] >= 1L)
   }
 
   test("simhash hot bucket: degenerate key is bounded, not quadratic") {
