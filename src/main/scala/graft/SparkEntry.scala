@@ -26,10 +26,19 @@ object SparkEntry {
     sum(c.cast("decimal(18,2)")).cast("double")
 
   /** Flagship: the full KG extraction path on the reference corpus —
-    * pages -> parity DOM extract -> labeled mentions -> triples.
+    * pages -> parity DOM extract -> labeled mentions -> triples. (The
+    * `kg_triples` query below runs the same path over planted SynthPages
+    * so the driver can oracle its full rows; the reference-corpus
+    * variant stays here as the smoke surface, with its triple P/R gate
+    * asserted against the reference's own gold labels in PipelineSpec.)
     */
-  def entry(spark: SparkSession): DataFrame =
-    queries("kg_triples")(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = graft.corpus.RefCorpus.pages(spark)
+    val names = spark.sparkContext.broadcast(graft.corpus.RefCorpus.targetNameMap())
+    val sents = graft.spark.ExtractStage.sentences(spark, pages, Some(names))
+    val mentions = graft.kg.Triples.goldMentions(spark, sents)
+    graft.kg.Triples.fromMentions(spark, mentions).toDF()
+  }
 
   // ---------------------------------------------------------------------
   // Query registry. Keys are stable; comments cite SURVEY.md §2 ids.
@@ -167,32 +176,51 @@ object SparkEntry {
         .orderBy("user_id", "sess_id")
     }),
 
-    // Flagship KG path (S1+P1-P12+J3+triples): reference pages -> parity
-    // DOM extraction -> gold-labeled mentions -> deduplicated triples.
-    // Narrow end-to-end except the final dedup shuffle. Not SQL-
-    // expressible (driver records rows-only check).
+    // Flagship KG path (S1+P1-P12+J3+triples), FULL rows oracled (was
+    // rows-only): planted 2-token + 1-token target names at fixed
+    // positions -> DOM extraction -> IOB labeling -> goldMentions ->
+    // deduplicated triples. Every column of every (subj, pred, obj,
+    // url) row is position-derivable in DuckDB; the reference-corpus
+    // variant of the same path is `entry` + PipelineSpec's P/R gate.
+    // Corpus assumptions as documented at kg_relations_counts.
     "kg_triples" -> ((s, dir) => {
-      import s.implicits._
-      val pages = graft.corpus.RefCorpus.pages(s)
-      val names = s.sparkContext.broadcast(graft.corpus.RefCorpus.targetNameMap())
-      val sents = graft.spark.ExtractStage.sentences(s, pages, Some(names),
-        config = graft.spark.ExtractStage.Config())
+      val varied = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("lang"),
+        expr("""array_join(transform(split(text, ' '), (t, i) ->
+          CASE WHEN i % 31 = 5 THEN 'zzjohn'
+               WHEN i % 31 = 6 THEN 'zzdoe'
+               WHEN i % 31 = 20 THEN 'zzann'
+               ELSE t END), ' ')""").as("text"))
+      val pages = graft.corpus.SynthPages.fromDocuments(s, varied)
+      val sents = graft.spark.ExtractStage.sentences(s, pages,
+        targetNamesFn = Some((_: String) => Seq("zzjohn zzdoe", "zzann")))
       val mentions = graft.kg.Triples.goldMentions(s, sents)
       graft.kg.Triples.fromMentions(s, mentions).toDF()
+        .select("subj", "pred", "obj", "url")
         .orderBy("url", "obj")
     }),
 
-    // Surface-pattern relation candidates (hasTitle/hasEmail) on the
-    // reference corpus (rows-only; pattern semantics asserted in
-    // RelationsSpec on crafted DOMs).
+    // Surface-pattern relation extraction (hasTitle/hasEmail), FULL
+    // rows oracled (was rows-only): same planting as
+    // kg_relations_counts, but the oracle reproduces every (subj, pred,
+    // obj, url) row WITH its multiplicity (goldRelations emits one row
+    // per pattern occurrence; occurrences of the same planted pattern
+    // in one doc yield identical rows).
     "kg_relations" -> ((s, dir) => {
-      import s.implicits._
-      val pages = graft.corpus.RefCorpus.pages(s)
-      val names = s.sparkContext.broadcast(graft.corpus.RefCorpus.targetNameMap())
-      val sents = graft.spark.ExtractStage.sentences(s, pages, Some(names),
-        config = graft.spark.ExtractStage.Config())
+      val varied = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("lang"),
+        expr("""array_join(transform(split(text, ' '), (t, i) ->
+          CASE WHEN i % 37 = 10 THEN 'dr.zz'
+               WHEN i % 37 = 11 THEN 'zzjohn'
+               WHEN i % 37 = 12 THEN 'zzdoe'
+               WHEN i % 37 = 20 THEN 'zz@zz.aa'
+               ELSE t END), ' ')""").as("text"))
+      val pages = graft.corpus.SynthPages.fromDocuments(s, varied)
+      val sents = graft.spark.ExtractStage.sentences(s, pages,
+        targetNamesFn = Some((_: String) => Seq("zzjohn zzdoe")))
       graft.kg.Relations.goldRelations(s, sents).toDF()
-        .orderBy("url", "subj", "pred", "obj")
+        .select("subj", "pred", "obj", "url")
+        .orderBy("url", "pred", "obj")
     }),
 
     // Dedup: word-set Jaccard on consecutive-doc candidate pairs
@@ -210,24 +238,34 @@ object SparkEntry {
     }),
 
     // Dedup: MinHash+LSH near-dup candidate pipeline (shingle -> minhash
-    // -> band -> bucket join -> verify). Driver rows-only check; the
-    // recall property is asserted in OpsSpec against planted near-dups.
+    // -> band -> bucket join -> verify), oracled on the planted
+    // invariant (was rows-only): exact copies at id+2^40 share every
+    // band deterministically (identical shingle sets -> identical
+    // signatures) and sort adjacent even in chain-paired hot buckets,
+    // so selecting the planted id offset yields EXACTLY one jaccard-1.0
+    // pair per document — closed-form in DuckDB. Natural near-dup pairs
+    // (band survival probabilistic) are exercised by OpsSpec instead.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val planted = d.select((col("doc_id") + lit(1000000)).as("doc_id"),
-        concat(col("text"), lit(" tail")).as("text"))
+      val planted = d.select((col("doc_id") + lit(1099511627776L)).as("doc_id"),
+        col("text"))
       graft.ops.Dedup.minhashLshPairs(s, d.select("doc_id", "text")
-        .unionByName(planted), minJaccard = 0.7)
+        .unionByName(planted.select("doc_id", "text")), minJaccard = 0.7)
+        .filter(col("id_b") === col("id_a") + lit(1099511627776L))
         .orderBy("id_a", "id_b")
     }),
 
-    // Dedup: SimHash near-dup pairs (blocked by rotated 16-bit keys).
+    // Dedup: SimHash near-dup pairs (blocked by rotated 16-bit keys),
+    // oracled on the same planted exact-copy invariant: identical text
+    // -> identical simhash -> every rotated block key shared -> the
+    // planted pair always survives blocking and verifies at hamming 0.
     "dedup_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val planted = d.select((col("doc_id") + lit(1000000)).as("doc_id"),
-        concat(col("text"), lit(" tail")).as("text"))
+      val planted = d.select((col("doc_id") + lit(1099511627776L)).as("doc_id"),
+        col("text"))
       graft.ops.Dedup.simhashPairs(s, d.select("doc_id", "text")
-        .unionByName(planted), maxHamming = 3)
+        .unionByName(planted.select("doc_id", "text")), maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + lit(1099511627776L))
         .orderBy("id_a", "id_b")
     }),
 
@@ -709,6 +747,44 @@ object SparkEntry {
       .stripMargin.replace("\n", " ")
 
   def oracleSql: Map[String, String] = Map(
+    "kg_triples" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n
+        |  FROM documents)
+        |SELECT 'doc://' || source || '/' || doc_id AS subj,
+        |  'mentionsPerson' AS pred, name AS obj,
+        |  'doc://' || source || '/' || doc_id AS url
+        |FROM (
+        |  SELECT doc_id, source, 'zzjohn zzdoe' AS name FROM d WHERE n >= 7
+        |  UNION ALL
+        |  SELECT doc_id, source, 'zzann' AS name FROM d WHERE n >= 21)
+        |ORDER BY url, obj""".stripMargin,
+    "kg_relations" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'zzjohn zzdoe' AS subj, 'hasTitle' AS pred, 'dr.zz' AS obj,
+        |    'doc://' || source || '/' || doc_id AS url,
+        |    (n - 13) // 37 + 1 AS c
+        |  FROM d WHERE n >= 13
+        |  UNION ALL
+        |  SELECT 'zzjohn zzdoe' AS subj, 'hasEmail' AS pred, 'zz@zz.aa' AS obj,
+        |    'doc://' || source || '/' || doc_id AS url,
+        |    (n - 21) // 37 + 1 AS c
+        |  FROM d WHERE n >= 21)
+        |SELECT subj, pred, obj, url FROM (
+        |  SELECT subj, pred, obj, url,
+        |    UNNEST(generate_series(1, c)) AS k FROM r)
+        |ORDER BY url, pred, obj""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """SELECT doc_id AS id_a, doc_id + 1099511627776 AS id_b,
+        |CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1099511627776 AS id_b,
+        |CAST(0 AS INTEGER) AS hamming
+        |FROM documents ORDER BY id_a, id_b""".stripMargin,
     "kg_token_features" ->
       s"""WITH toks AS (
         |  SELECT doc_id,
