@@ -657,6 +657,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // W11 attention ablations oracled (models/attention.py:100-187,
+    // models/char_representations.py:34-52, models/html_embeddings.py:
+    // 47-72): every token gets a charLstmRepr ++ htmlRepr query/key —
+    // exact_attention's equality scores fire exactly between identical
+    // words (the repr is a pure function of the chars), so the planted
+    // token's residual-carried one-hot value survives as outA >= 1.0
+    // while every other token stays <= 0.001; a saturating multiHead
+    // pass (Q=K scores 100 on plants, <= 0.01 elsewhere) then amplifies
+    // the margin to >= 9.99 vs <= 1.3. Tags thresholded at 5 equal the
+    // kg_bilstm_decode position formula.
+    "kg_attention_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.tag.Attention
+      val charVocab: Map[Char, Int] = ('a' to 'z').zipWithIndex.toMap
+      val charEmb: Array[Array[Float]] = Array.tabulate(27, 2)((i, j) =>
+        if (i == 26) 0f else ((i * (j + 3) + j * 7) % 27 + 1) / 27f)
+      def cell(in: Int, u: Int) = graft.tag.BiLstm.CellWeights(
+        Array.tabulate(in + u, 4 * u)((i, j) => ((i * 5 + j * 3) % 11 - 5) / 10f),
+        new Array[Float](4 * u))
+      val fw = cell(2, 2); val bw = cell(2, 2)
+      val htmlVocab = Map("div" -> 0, "body" -> 1)
+      val htmlEmb = Array(Array(0.1f, 0.2f), Array(0.3f, 0.4f), Array(0f, 0f))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tkns = text.split(" ").toSeq.zipWithIndex
+            .map { case (w, i) => if (i % 13 == 7) "zzalice" else w }
+          val hr = Attention.htmlRepr(htmlVocab, htmlEmb, charVocab, charEmb,
+            "div.body", "doc").map(_.toDouble)
+          val qk: Array[Array[Double]] = tkns.map { w =>
+            Attention.charLstmRepr(charVocab, charEmb, fw, bw, w)
+              .map(_.toDouble) ++ hr
+          }.toArray
+          val values: Array[Array[Double]] = tkns.map(w =>
+            Array(if (w == "zzalice") 1.0 else 0.0)).toArray
+          val outA = Attention.exactAttention(qk, qk, values,
+            Attention.Dense(Array(Array(0.001f)), Array(0f)))
+          val outB = Attention.multiHead(outA, outA, outA,
+            Attention.Dense(Array(Array(10f)), Array(0f)), None,
+            Attention.Dense(Array(Array(10f)), Array(0f)), 1)
+          (id, outB.count(_(0) > 5.0).toLong)
+        }
+        .toDF("doc_id", "n_entity_tags")
+        .orderBy("doc_id")
+    }),
+
     // S1 WARC source oracled end-to-end: documents -> WARC response
     // records (HTTP head + Content-Length framing) -> Warc record
     // parser -> pages -> the full DOM extraction kernel; per-doc token
@@ -914,6 +960,14 @@ object SparkEntry {
         |FROM ranked r JOIN agg a USING (grp) WHERE r.rn = 1
         |ORDER BY canonical_name""".stripMargin,
     "kg_bilstm_decode" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 8
+        |       THEN (LEN(STRING_SPLIT(text, ' ')) - 8) // 13 + 1
+        |       ELSE 0 END AS BIGINT) AS n_entity_tags
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same planted-position closed form as kg_bilstm_decode: the
+    // attention stack fires > 5 exactly on the i % 13 == 7 plants.
+    "kg_attention_decode" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 8
         |       THEN (LEN(STRING_SPLIT(text, ' ')) - 8) // 13 + 1

@@ -137,15 +137,20 @@ object Similarity {
       .setFeaturesCol("features").setPredictionCol("cell")
     // The coarse quantizer trains on a bounded sample: KMeans makes
     // maxIter full passes over its input, so fitting on the whole
-    // corpus would dominate the query at scale (one extra count pass +
-    // a sampled fit is strictly cheaper than 10 full passes). Centroid
-    // quality from ~200k vectors is indistinguishable for a coarse
-    // nlist-way partitioner.
-    val nCorpus = corpus.count()
+    // corpus would dominate the query at scale. Whether sampling is
+    // needed at all is decided WITHOUT a full-corpus count: the limit
+    // probe below caps every task at maxTrain+1 rows (LocalLimit short-
+    // circuits each partition), so no job reads the corpus end-to-end
+    // before the fit. Large corpora then train on a thinned sample
+    // capped at maxTrain rows — the 10% sample randomizes within the
+    // consumed prefix; centroid quality from ~200k vectors is
+    // indistinguishable for a coarse nlist-way partitioner.
+    val small = corpus.select(lit(1).as("one"))
+      .limit(maxTrain.toInt + 1).count() <= maxTrain
     val trainSrc =
-      if (nCorpus <= maxTrain) corpus
-      else corpus.sample(withReplacement = false,
-        maxTrain.toDouble / nCorpus, seed)
+      if (small) corpus
+      else corpus.sample(withReplacement = false, 0.1, seed)
+        .limit(maxTrain.toInt)
     val model = kmeans.fit(trainSrc.select(toVec(col("embedding")).as("features")))
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centroids)
