@@ -147,8 +147,11 @@ object Bench {
       val budgetMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "480")
         .toLong * 1000L
       val t0 = System.currentTimeMillis()
+      // >= 3 interleaved samples at EVERY level (r2's plan gave 8/32
+      // only two, so one contended sample left best-of as the other),
+      // plus a cheap 4th leg for the fast, noise-prone 32/8 levels.
       val rounds: Seq[Seq[Int]] =
-        Seq(Seq(32, 8, 4, 1), Seq(4, 1), Seq(32, 8, 4, 1))
+        Seq(Seq(32, 8, 4, 1), Seq(32, 8, 4, 1), Seq(32, 8, 4, 1), Seq(32, 8))
       val samples: Seq[Sample] = rounds.zipWithIndex.flatMap { case (r, i) =>
         if (i > 0 && System.currentTimeMillis() - t0 > budgetMs) Seq.empty
         else r.map(c => runSample(c, scaleDocs))
