@@ -24,8 +24,17 @@ final class Stages(spark: SparkSession, base: String) {
 
   def lineagePath: String = s"$base/_lineage"
 
-  def lineage(): DataFrame =
-    spark.read.parquet(lineagePath)
+  def lineage(): DataFrame = {
+    // mergeSchema: a resumed pre-skipped_rows outDir mixes 5- and
+    // 6-column lineage files; plain read samples ONE footer for the
+    // schema, so the column set would be nondeterministic. Old rows
+    // read as null skipped_rows -> 0 (nothing was skipped back then).
+    val raw = spark.read.option("mergeSchema", "true").parquet(lineagePath)
+    if (raw.columns.contains("skipped_rows"))
+      raw.withColumn("skipped_rows",
+        coalesce(col("skipped_rows"), lit(0L)))
+    else raw.withColumn("skipped_rows", lit(0L))
+  }
 
   /** Run (or resume) one stage. `inputRows`/`skippedRows` are recorded
     * in lineage (evaluated AFTER the stage materializes, so accumulator

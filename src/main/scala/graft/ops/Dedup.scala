@@ -25,7 +25,9 @@ import graft.functions.Fnv1a64
   * degenerate key over 10^7 documents costs one spillable sort, not one
   * 10^7-element aggregation buffer. Recall guarantees inside a hot
   * bucket: BYTE-IDENTICAL documents share the content key and sort
-  * adjacent, so exact-copy pairs always survive; merely near-identical
+  * adjacent — runs of up to `maxBucket` copies are fully all-paired
+  * (complete exact-copy pair recall), larger runs stay chain-connected
+  * for transitive closure; merely near-identical
   * pairs sort at unrelated positions (the key is an avalanche hash of
   * the full signature) and are found only with ~hotChain/bucket
   * probability — which is why every function reports
@@ -56,9 +58,9 @@ object Dedup {
     * share it and therefore sort adjacent). Output: (m_a, m_b) struct
     * pairs, m_a strictly before m_b in the bucket's sort order.
     *
-    * Two paths, split by the bucket's size (computed by a window count
-    * over the bucket key — same exchange as the pairing itself, no
-    * extra shuffle of the banded stream):
+    * Three paths, split by the bucket's size (computed by a window
+    * count over the bucket key — same exchange as the pairing itself,
+    * no extra shuffle of the banded stream):
     *  - size <= maxBucket: all pairs, via a `collect_list` whose row is
     *    bounded by maxBucket small structs;
     *  - size > maxBucket: chain pairs, via `lead(m, 1..hotChain)` over
@@ -66,16 +68,32 @@ object Dedup {
     *    the window sort is Spark's spillable external sort, so one
     *    degenerate key over the whole corpus streams through O(n log n)
     *    with bounded memory instead of building an n-element (or, with
-    *    payloads, multi-GB) aggregation buffer.
+    *    payloads, multi-GB) aggregation buffer;
+    *  - additionally, inside hot buckets, every RUN of equal content
+    *    keys (byte-identical documents) up to maxBucket members is
+    *    all-paired via a second, run-keyed aggregation — so exact-copy
+    *    pair recall inside a hot bucket is COMPLETE whenever no single
+    *    text has more than maxBucket copies (beyond that the chain
+    *    still connects the run). Without this, K > hotChain copies of
+    *    one text in a hot bucket would only be chain-connected, and a
+    *    pair-level consumer (or oracle) would miss (i, j) pairs more
+    *    than hotChain apart in the sort.
     *
-    * Both branches share the single exchange on `keys` (exchange
-    * reuse); the Observation reports exact (buckets, hot_buckets,
-    * max_bucket) via first-row markers.
+    * All branches share the single exchange on `keys` (exchange reuse);
+    * the duplicated sort+window above it (once per branch) is a
+    * deliberate trade: re-sorting a 32-byte/row id stream twice is
+    * cheaper and strictly safer at scale than persisting the banded
+    * stream or collecting any unbounded bucket row. The Observation
+    * reports exact (buckets, hot_buckets, max_bucket) via first-row
+    * markers, coalesced to 0 when no bucket has two members (sum/max
+    * over zero rows is NULL, which would unbox as a surprise).
     */
-  private def boundedBucketPairs(df: DataFrame, keys: Seq[String],
+  private[ops] def boundedBucketPairs(df: DataFrame, keys: Seq[String],
       maxBucket: Int, hotChain: Int,
       metrics: Option[Observation]): DataFrame = {
     val kcols = keys.map(col)
+    val ckField = df.schema("m").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.head
     val wC = Window.partitionBy(kcols: _*).orderBy(col("m"))
     val wAll = wC.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val sized = df
@@ -88,25 +106,41 @@ object Dedup {
     val flagged = metrics match {
       case None => sized
       case Some(obs) => sized.observe(obs,
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("buckets"),
-        sum(when(col("rn") === 1 && col("bsz") > maxBucket, 1L)
-          .otherwise(0L)).as("hot_buckets"),
-        max(col("bsz")).as("max_bucket"))
+        coalesce(sum(when(col("rn") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("buckets"),
+        coalesce(sum(when(col("rn") === 1 && col("bsz") > maxBucket, 1L)
+          .otherwise(0L)), lit(0L)).as("hot_buckets"),
+        coalesce(max(col("bsz")), lit(0L)).as("max_bucket"))
     }
-    val normal = flagged.filter(col("bsz") <= maxBucket)
-      .groupBy(kcols: _*)
-      .agg(array_sort(collect_list(col("m"))).as("members"))
+    def allPairs(grouped: DataFrame): DataFrame = grouped
       .select(explode(expr(
         """flatten(transform(members, (m, i) ->
           |  transform(slice(members, i + 2, size(members) - i - 1),
           |    o -> struct(m as m_a, o as m_b))))""".stripMargin)).as("p"))
       .select(col("p.m_a"), col("p.m_b"))
+    val normal = allPairs(flagged.filter(col("bsz") <= maxBucket)
+      .groupBy(kcols: _*)
+      .agg(array_sort(collect_list(col("m"))).as("members")))
+    val hotRows = flagged.filter(col("bsz") > maxBucket)
     val leads = (1 to hotChain).map(k => lead(col("m"), k).over(wC))
-    val hot = flagged.filter(col("bsz") > maxBucket)
+    val chain = hotRows
       .select(col("m"), array(leads: _*).as("os"))
       .select(col("m").as("m_a"), explode(col("os")).as("m_b"))
       .filter(col("m_b").isNotNull)
-    normal.unionByName(hot)
+    // exact-copy runs inside hot buckets (equal leading struct field);
+    // run size bounded by maxBucket keeps the collect_list row small,
+    // and hot rows are by definition a vanishing fraction of the input
+    val runKeys = kcols :+ col("ck")
+    val wRun = Window.partitionBy(runKeys: _*)
+    val runs = allPairs(hotRows
+      .withColumn("ck", col(s"m.$ckField"))
+      .withColumn("rsz", count(lit(1)).over(wRun))
+      .filter(col("rsz") >= 2 && col("rsz") <= maxBucket)
+      .groupBy(runKeys: _*)
+      .agg(array_sort(collect_list(col("m"))).as("members")))
+    // chain pairs inside a run duplicate some run pairs; every caller
+    // keys pairs by (id_a, id_b) and dropDuplicates afterwards
+    normal.unionByName(chain).unionByName(runs)
   }
 
   /** Distinct word n-grams of a text as a column. Texts shorter than n

@@ -135,23 +135,31 @@ object Similarity {
     val kmeans = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
-    // The coarse quantizer trains on a bounded sample: KMeans makes
-    // maxIter full passes over its input, so fitting on the whole
-    // corpus would dominate the query at scale. Whether sampling is
-    // needed at all is decided WITHOUT a full-corpus count: the limit
-    // probe below caps every task at maxTrain+1 rows (LocalLimit short-
-    // circuits each partition), so no job reads the corpus end-to-end
-    // before the fit. Large corpora then train on a thinned sample
-    // capped at maxTrain rows — the 10% sample randomizes within the
-    // consumed prefix; centroid quality from ~200k vectors is
-    // indistinguishable for a coarse nlist-way partitioner.
-    val small = corpus.select(lit(1).as("one"))
-      .limit(maxTrain.toInt + 1).count() <= maxTrain
+    // The coarse quantizer trains on a bounded, partition-STRATIFIED
+    // sample: KMeans makes maxIter full passes over its input, so
+    // fitting on the whole corpus would dominate the query at scale.
+    // No counting job runs at all: each of the corpus's P partitions
+    // contributes its first ceil(maxTrain/P) rows (narrow tasks that
+    // short-circuit after the quota), which (a) yields the ENTIRE
+    // corpus when it is small — every partition holds fewer rows than
+    // its quota — and (b) draws from EVERY partition, unlike
+    // sample(f).limit(n), whose GlobalLimit consumes partitions in
+    // order and would fit the quantizer on a source-ordered prefix of
+    // a big corpus (skewed centroids, degraded nprobe recall, no
+    // signal). When P alone exceeds maxTrain (very wide scans), the
+    // fraction maxTrain/P is finally known without counting, so a
+    // Bernoulli sample trims the per-partition contributions back to
+    // ~maxTrain in expectation.
+    val vecs = corpus.select(toVec(col("embedding")).as("features"))
+    val parts = math.max(1, vecs.rdd.getNumPartitions)
+    val perPart = math.max(1L, (maxTrain + parts - 1) / parts).toInt
+    val strat = vecs.sparkSession.createDataFrame(
+      vecs.rdd.mapPartitions(_.take(perPart)), vecs.schema)
     val trainSrc =
-      if (small) corpus
-      else corpus.sample(withReplacement = false, 0.1, seed)
-        .limit(maxTrain.toInt)
-    val model = kmeans.fit(trainSrc.select(toVec(col("embedding")).as("features")))
+      if (parts <= maxTrain) strat
+      else strat.sample(withReplacement = false,
+        maxTrain.toDouble / parts, seed)
+    val model = kmeans.fit(trainSrc)
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centroids)
 

@@ -76,6 +76,18 @@ class OpsSpec extends AnyFunSuite {
     // quantizer must do materially better than chance
     assert(recall > 0.5, f"recall $recall%.3f no better than chance")
     assert(ivf.nonEmpty)
+
+    // quantizer-sampling path (corpus rows >> maxTrain): the stratified
+    // per-partition take must still produce a usable quantizer — recall
+    // above the 3/8 chance floor with a fit on ~64 vectors
+    val ivfSampled = Similarity.ivfTopK(spark, e, e, k = 5, nlist = 8,
+        nprobe = 3, maxTrain = 64L)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallSampled = ivfSampled.intersect(brute).size.toDouble / brute.size
+    info(f"ann recall@5 (ivf, 64-vector stratified fit): $recallSampled%.3f")
+    assert(recallSampled > 0.375,
+      f"sampled-quantizer recall $recallSampled%.3f at/below chance")
   }
 
   test("embedding-cosine near-dup finds planted duplicate vectors") {
@@ -272,6 +284,42 @@ class OpsSpec extends AnyFunSuite {
     val want = cases.map(s =>
       Dedup.minhashSignature(Dedup.shingleHashes(s, 3), 8).toSeq)
     assert(got == want)
+  }
+
+  test("hot bucket: exact-copy runs beyond hotChain are fully paired") {
+    import spark.implicits._
+    // one bucket of 500 members: 490 unique content keys + one run of
+    // 10 byte-identical members. The bucket is hot (> maxBucket=50),
+    // the run is not — all 45 run pairs must survive even though the
+    // run spans more than hotChain(=2) positions in the sort.
+    val rows = (0 until 490).map(i => (1, (1000 + i).toLong, (9000 + i).toLong)) ++
+      (0 until 10).map(j => (1, 42L, (100 + j).toLong))
+    val df = rows.toDF("b", "ck", "id")
+      .select(col("b"), struct(col("ck"), col("id")).as("m"))
+    val pairs = Dedup.boundedBucketPairs(df, Seq("b"), maxBucket = 50,
+        hotChain = 2, metrics = None)
+      .select(col("m_a.id"), col("m_b.id"))
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val want = (for (a <- 100 until 110; b <- (a + 1) until 110)
+      yield (a.toLong, b.toLong)).toSet
+    assert(want.subsetOf(pairs), s"missing run pairs: ${want -- pairs}")
+    // still bounded: nothing quadratic in the 490 unique members
+    assert(pairs.size <= 500 * 3 + want.size)
+  }
+
+  test("observation metrics are zero, not null, when no bucket repeats") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i, i.toLong, i.toLong))
+      .toDF("b", "ck", "id")
+      .select(col("b"), struct(col("ck"), col("id")).as("m"))
+    val obs = new org.apache.spark.sql.Observation("empty_buckets")
+    val pairs = Dedup.boundedBucketPairs(df, Seq("b"), 10, 2, Some(obs))
+    assert(pairs.count() == 0L)
+    val m = obs.get
+    assert(m("buckets").asInstanceOf[Long] == 0L)
+    assert(m("hot_buckets").asInstanceOf[Long] == 0L)
+    assert(m("max_bucket").asInstanceOf[Long] == 0L)
   }
 
   test("fnv1a64 native expression matches the scala implementation") {
