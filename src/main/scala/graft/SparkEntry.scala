@@ -681,23 +681,36 @@ object SparkEntry {
       val htmlEmb = Array(Array(0.1f, 0.2f), Array(0.3f, 0.4f), Array(0f, 0f))
       t(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          val tkns = text.split(" ").toSeq.zipWithIndex
-            .map { case (w, i) => if (i % 13 == 7) "zzalice" else w }
+        .mapPartitions { it =>
+          // the html repr is doc-independent (hoisted), and the char-
+          // LSTM repr is a pure function of the word — memoized per
+          // partition, since web text repeats words enormously
           val hr = Attention.htmlRepr(htmlVocab, htmlEmb, charVocab, charEmb,
             "div.body", "doc").map(_.toDouble)
-          val qk: Array[Array[Double]] = tkns.map { w =>
-            Attention.charLstmRepr(charVocab, charEmb, fw, bw, w)
-              .map(_.toDouble) ++ hr
-          }.toArray
-          val values: Array[Array[Double]] = tkns.map(w =>
-            Array(if (w == "zzalice") 1.0 else 0.0)).toArray
-          val outA = Attention.exactAttention(qk, qk, values,
-            Attention.Dense(Array(Array(0.001f)), Array(0f)))
-          val outB = Attention.multiHead(outA, outA, outA,
-            Attention.Dense(Array(Array(10f)), Array(0f)), None,
-            Attention.Dense(Array(Array(10f)), Array(0f)), 1)
-          (id, outB.count(_(0) > 5.0).toLong)
+          val memo = new java.util.HashMap[String, Array[Double]]()
+          def qkOf(w: String): Array[Double] = {
+            val hit = memo.get(w)
+            if (hit != null) hit
+            else {
+              val r = Attention.charLstmRepr(charVocab, charEmb, fw, bw, w)
+                .map(_.toDouble) ++ hr
+              if (memo.size < 10000) memo.put(w, r)
+              r
+            }
+          }
+          it.map { case (id, text) =>
+            val tkns = text.split(" ").toSeq.zipWithIndex
+              .map { case (w, i) => if (i % 13 == 7) "zzalice" else w }
+            val qk: Array[Array[Double]] = tkns.map(qkOf).toArray
+            val values: Array[Array[Double]] = tkns.map(w =>
+              Array(if (w == "zzalice") 1.0 else 0.0)).toArray
+            val outA = Attention.exactAttention(qk, qk, values,
+              Attention.Dense(Array(Array(0.001f)), Array(0f)))
+            val outB = Attention.multiHead(outA, outA, outA,
+              Attention.Dense(Array(Array(10f)), Array(0f)), None,
+              Attention.Dense(Array(Array(10f)), Array(0f)), 1)
+            (id, outB.count(_(0) > 5.0).toLong)
+          }
         }
         .toDF("doc_id", "n_entity_tags")
         .orderBy("doc_id")

@@ -210,15 +210,39 @@ final case class BiLstmCrfScorer(
 
   def numTags: Int = denseBias.length
 
+  /** Char-repr memo: the char-CNN/LSTM repr is a pure function of the
+    * word, and web text repeats words enormously (Zipf), so computing
+    * it once per DISTINCT word instead of once per occurrence removes
+    * the dominant allocation cost of the scoring hot path. The scorer
+    * is broadcast, so one bounded cache serves every task on an
+    * executor; past the cap rare words just recompute (no eviction
+    * churn, no unbounded growth on web-scale vocabularies).
+    */
+  @transient private lazy val charReprCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+  private val maxCharReprCache = 100000
+
+  private def charReprOf(t: String): Array[Float] =
+    if (charCnn.isEmpty && charLstm.isEmpty) Array.empty[Float]
+    else {
+      val hit = charReprCache.get(t)
+      if (hit != null) hit
+      else {
+        val r = charCnn.map(BiLstm.charRepr(_, t))
+          .orElse(charLstm.map(_.repr(t)))
+          .getOrElse(Array.empty[Float])
+        if (charReprCache.size < maxCharReprCache) charReprCache.put(t, r)
+        r
+      }
+    }
+
   /** Per-token input vectors: word embedding ++ char reps ++ features. */
   private def inputsOf(tokens: Seq[String],
       features: Option[Seq[Array[Float]]]): Array[Array[Float]] = {
     val fDim = features.map(f => if (f.isEmpty) 0 else f.head.length).getOrElse(0)
     tokens.zipWithIndex.map { case (t, i) =>
       val e = wordEmb(vocab.getOrElse(t, wordEmb.length - 1))
-      val c = charCnn.map(BiLstm.charRepr(_, t))
-        .orElse(charLstm.map(_.repr(t)))
-        .getOrElse(Array.empty[Float])
+      val c = charReprOf(t)
       val x = new Array[Float](e.length + c.length + fDim)
       System.arraycopy(e, 0, x, 0, e.length)
       System.arraycopy(c, 0, x, e.length, c.length)
