@@ -74,7 +74,11 @@ object Dedup {
     *    all-paired via a second, run-keyed aggregation — so exact-copy
     *    pair recall inside a hot bucket is COMPLETE whenever no single
     *    text has more than maxBucket copies (beyond that the chain
-    *    still connects the run). Without this, K > hotChain copies of
+    *    still connects the run). The content key is a 64-BIT hash
+    *    (xxhash64) precisely so distinct texts don't merge into one
+    *    over-maxBucket run by key collision — with a 32-bit key that
+    *    is a birthday-bound certainty at web scale, with 64 bits it
+    *    needs ~10^9 distinct texts in ONE bucket. Without this, K > hotChain copies of
     *    one text in a hot bucket would only be chain-connected, and a
     *    pair-level consumer (or oracle) would miss (i, j) pairs more
     *    than hotChain apart in the sort.
@@ -216,7 +220,7 @@ object Dedup {
     val sigs = base.select(col("id"),
       call_function("minhash_sig", col("text"), lit(w), lit(k)).as("sig"))
 
-    val banded = sigs.select(col("id"), hash(col("sig")).as("sighash"),
+    val banded = sigs.select(col("id"), xxhash64(col("sig")).as("sighash"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> hash(slice(sig, b * $rows + 1, $rows)))")))
       .toDF("id", "sighash", "band", "bandkey")
@@ -270,7 +274,7 @@ object Dedup {
       .withColumn("bucket", sigUdf(col("embedding")))
     val candidates = boundedBucketPairs(
       b.select(col("bucket"),
-        struct(hash(col("embedding")).as("ekey"), col("id")).as("m")),
+        struct(xxhash64(col("embedding")).as("ekey"), col("id")).as("m")),
       Seq("bucket"), maxBucket, hotChain, metrics)
       .select(least(col("m_a.id"), col("m_b.id")).as("id_a"),
         greatest(col("m_a.id"), col("m_b.id")).as("id_b"))

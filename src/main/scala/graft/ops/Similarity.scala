@@ -135,30 +135,48 @@ object Similarity {
     val kmeans = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
-    // The coarse quantizer trains on a bounded, partition-STRATIFIED
-    // sample: KMeans makes maxIter full passes over its input, so
-    // fitting on the whole corpus would dominate the query at scale.
-    // No counting job runs at all: each of the corpus's P partitions
-    // contributes its first ceil(maxTrain/P) rows (narrow tasks that
-    // short-circuit after the quota), which (a) yields the ENTIRE
-    // corpus when it is small — every partition holds fewer rows than
-    // its quota — and (b) draws from EVERY partition, unlike
-    // sample(f).limit(n), whose GlobalLimit consumes partitions in
-    // order and would fit the quantizer on a source-ordered prefix of
-    // a big corpus (skewed centroids, degraded nprobe recall, no
-    // signal). When P alone exceeds maxTrain (very wide scans), the
-    // fraction maxTrain/P is finally known without counting, so a
-    // Bernoulli sample trims the per-partition contributions back to
-    // ~maxTrain in expectation.
+    // The coarse quantizer trains on a bounded sample: KMeans makes
+    // maxIter full passes over its input, so fitting on the whole
+    // corpus would dominate the query at scale. Sizing the sample
+    // without a full-corpus count:
+    //  1. a BOUNDED probe — take(4*maxTrain + 1) over a constant
+    //     column. Dataset.take schedules partitions INCREMENTALLY
+    //     (1, then 4x more, ...), so a huge corpus answers from its
+    //     first partition or two, and the driver holds at most
+    //     ~4*maxTrain one-int rows for a moment. If the probe comes
+    //     back under its cap, it IS the exact row count: small corpora
+    //     train whole (even when skewed into few partitions), mid-size
+    //     corpora get a seeded uniform Bernoulli sample of a now-known
+    //     fraction — no storage-order bias;
+    //  2. only corpora beyond 4*maxTrain rows (where any exact count
+    //     is a real scan) fall back to a partition-STRATIFIED take:
+    //     the first ceil(maxTrain/P) rows of each of the P partitions
+    //     (narrow, short-circuiting). At that scale P is large (100 TB
+    //     ~ 10^5-10^6 files), so the sample spans the whole corpus
+    //     with ~rows-per-file granularity rather than being the
+    //     sample(f).limit(n) GlobalLimit prefix; when P alone exceeds
+    //     maxTrain, the known fraction maxTrain/P Bernoulli-trims the
+    //     per-partition singletons.
     val vecs = corpus.select(toVec(col("embedding")).as("features"))
-    val parts = math.max(1, vecs.rdd.getNumPartitions)
-    val perPart = math.max(1L, (maxTrain + parts - 1) / parts).toInt
-    val strat = vecs.sparkSession.createDataFrame(
-      vecs.rdd.mapPartitions(_.take(perPart)), vecs.schema)
+    val probeCap = math.min(4L * math.max(1L, maxTrain),
+      (Int.MaxValue - 2).toLong).toInt
+    val probed: Long =
+      vecs.select(lit(1).as("one")).take(probeCap + 1).length.toLong
     val trainSrc =
-      if (parts <= maxTrain) strat
-      else strat.sample(withReplacement = false,
-        maxTrain.toDouble / parts, seed)
+      if (probed <= maxTrain) vecs
+      else if (probed <= probeCap)  // probed == exact corpus count
+        vecs.sample(withReplacement = false,
+          math.min(1.0, maxTrain.toDouble / probed * 1.05), seed)
+      else {
+        val parts = math.max(1, vecs.rdd.getNumPartitions)
+        val perPart = math.min((maxTrain + parts - 1) / parts,
+          Int.MaxValue.toLong).toInt.max(1)
+        val strat = vecs.sparkSession.createDataFrame(
+          vecs.rdd.mapPartitions(_.take(perPart)), vecs.schema)
+        if (parts <= maxTrain) strat
+        else strat.sample(withReplacement = false,
+          maxTrain.toDouble / parts, seed)
+      }
     val model = kmeans.fit(trainSrc)
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centroids)

@@ -77,17 +77,44 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.5, f"recall $recall%.3f no better than chance")
     assert(ivf.nonEmpty)
 
-    // quantizer-sampling path (corpus rows >> maxTrain): the stratified
-    // per-partition take must still produce a usable quantizer — recall
-    // above the 3/8 chance floor with a fit on ~64 vectors
+    // quantizer-sampling path, exact-count branch (corpus under the
+    // probe cap): a seeded uniform Bernoulli sample of ~150/500 rows
+    // must still produce a usable quantizer
     val ivfSampled = Similarity.ivfTopK(spark, e, e, k = 5, nlist = 8,
-        nprobe = 3, maxTrain = 64L)
+        nprobe = 3, maxTrain = 150L)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recallSampled = ivfSampled.intersect(brute).size.toDouble / brute.size
-    info(f"ann recall@5 (ivf, 64-vector stratified fit): $recallSampled%.3f")
+    info(f"ann recall@5 (ivf, 150-vector uniform fit): $recallSampled%.3f")
     assert(recallSampled > 0.375,
       f"sampled-quantizer recall $recallSampled%.3f at/below chance")
+  }
+
+  test("ivf stratified fit (corpus beyond the probe cap) covers planted clusters") {
+    import spark.implicits._
+    // 2000 vectors in 8 well-separated clusters, cluster cycling with
+    // the row index so every partition's LEADING rows span all
+    // clusters. maxTrain=64 -> probe cap 256 < 2000, so the fit takes
+    // the stratified per-partition path; a quantizer that missed a
+    // cluster would send its probes to the wrong cells.
+    val n = 2000L
+    val vecs = spark.range(n).map { i =>
+      val c = (i % 8).toInt
+      val emb = Array.tabulate(16)(d =>
+        (if (d == c * 2) 10.0f else 0.0f) + ((i * 31 + d) % 7) * 0.01f)
+      (i, emb)
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 64)
+    val brute = Similarity.bruteForceTopK(vecs, probes, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, vecs, probes, k = 3, nlist = 8,
+        nprobe = 2, maxTrain = 64L)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"ann recall@3 (ivf, stratified 64-vector fit, 8 planted clusters): $recall%.3f")
+    assert(recall > 0.5, f"stratified fit missed planted clusters: $recall%.3f")
   }
 
   test("embedding-cosine near-dup finds planted duplicate vectors") {
