@@ -354,6 +354,35 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // ANN planted-twin oracles: each probe is an exact copy (id+2^40)
+    // of a corpus vector. An identical vector deterministically shares
+    // its twin's SRP bucket / IVF cell, and by COSINE the twin scores
+    // ~1.0 while every other (distinct, non-parallel) vector scores
+    // strictly below — so rank 1 per probe is the twin, closed-form in
+    // SQL, while the query exercises the REAL approximate path
+    // (bucketing / quantizer cells / ranking window) end-to-end. The
+    // k=5 dot-ranked variants above stay as the honest approximate
+    // surface (recall vs brute force asserted in OpsSpec).
+    "ann_lsh_plant_top1" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
+        col("embedding"))
+      graft.ops.Similarity.lshTopK(s, e.unionByName(planted), planted,
+          k = 1, nBits = 6, metric = graft.ops.Similarity.cosineCol)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy("query_id")
+    }),
+    "ann_ivf_plant_top1" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
+        col("embedding"))
+      graft.ops.Similarity.ivfTopK(s, e.unionByName(planted), planted,
+          k = 1, nlist = 8, nprobe = 2,
+          metric = graft.ops.Similarity.cosineCol)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy("query_id")
+    }),
+
     // Dedup: embedding-cosine near-dup pairs via SRP-LSH buckets.
     // Planted exact copies (shifted ids) make the check oracled, not
     // vacuous: identical vectors always share an SRP bucket and sort
@@ -1114,6 +1143,15 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |WHERE a.vec_id < 500
         |GROUP BY a.vec_id ORDER BY query_id""".stripMargin,
+    // planted-twin ANN invariants: rank-1 by cosine for an exact-copy
+    // probe is deterministically its twin (no duplicate vectors exist
+    // in the corpus), so the approximate paths oracle in closed form
+    "ann_lsh_plant_top1" ->
+      """SELECT vec_id + 1099511627776 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings ORDER BY query_id""".stripMargin,
+    "ann_ivf_plant_top1" ->
+      """SELECT vec_id + 1099511627776 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings ORDER BY query_id""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id,
         |CAST(LENGTH(text) % 97 AS BIGINT) AS width,

@@ -127,7 +127,8 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      maxTrain: Long = 200000L): DataFrame = {
+      maxTrain: Long = 200000L,
+      metric: (Column, Column) => Column = dotCol): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val toVec = udf((v: Seq[Float]) =>
@@ -226,7 +227,7 @@ object Similarity {
       .select(
         col("p.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
-        dotCol(col("p.embedding"), col("c.embedding")).as("score"))
+        metric(col("p.embedding"), col("c.embedding")).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -237,7 +238,8 @@ object Similarity {
     * multi-probe; the shuffle is bounded by bucket sizes.
     */
   def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
-      k: Int, nBits: Int = 8): DataFrame = {
+      k: Int, nBits: Int = 8,
+      metric: (Column, Column) => Column = dotCol): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val sigUdf = udf((v: Seq[Float]) => srpSignature(v, nBits))
@@ -249,7 +251,7 @@ object Similarity {
       .select(
         col("p.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
-        dotCol(col("p.embedding"), col("c.embedding")).as("score"))
+        metric(col("p.embedding"), col("c.embedding")).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
