@@ -25,6 +25,20 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Unit-normalize the embedding column, so a plain dot IS the cosine
+    * — one dot product per candidate pair instead of cosineCol's three
+    * (it recomputes both norms per PAIR; normalizing each side once is
+    * the scale-correct place to pay the norm). The norm lives in its
+    * own column first: only an attribute REFERENCE enters the
+    * higher-order lambda, not the norm expression tree (the HOF
+    * re-evaluates whatever sits inside the lambda once per element).
+    */
+  private def annUnit(df: DataFrame): DataFrame =
+    df.withColumn("nrm", graft.ops.Similarity.normCol(col("embedding")))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x / col("nrm")).cast("float")).as("embedding"))
+
   /** Flagship: the full KG extraction path on the reference corpus —
     * pages -> parity DOM extract -> labeled mentions -> triples. (The
     * `kg_triples` query below runs the same path over planted SynthPages
@@ -364,21 +378,20 @@ object SparkEntry {
     // k=5 dot-ranked variants above stay as the honest approximate
     // surface (recall vs brute force asserted in OpsSpec).
     "ann_lsh_plant_top1" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val e = annUnit(t(s, dir, "embeddings").select("vec_id", "embedding"))
       val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
         col("embedding"))
       graft.ops.Similarity.lshTopK(s, e.unionByName(planted), planted,
-          k = 1, nBits = 6, metric = graft.ops.Similarity.cosineCol)
+          k = 1, nBits = 6)
         .select(col("query_id"), col("neighbor_id"))
         .orderBy("query_id")
     }),
     "ann_ivf_plant_top1" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val e = annUnit(t(s, dir, "embeddings").select("vec_id", "embedding"))
       val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
         col("embedding"))
       graft.ops.Similarity.ivfTopK(s, e.unionByName(planted), planted,
-          k = 1, nlist = 8, nprobe = 2,
-          metric = graft.ops.Similarity.cosineCol)
+          k = 1, nlist = 8, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"))
         .orderBy("query_id")
     }),
