@@ -116,6 +116,37 @@ object Similarity {
     sig
   }
 
+  /** Multi-probe bucket set: the base SRP bucket plus the buckets
+    * reached by flipping each of the `extra` LOWEST-MARGIN bits — the
+    * hyperplanes the vector sits closest to, i.e. the bits most likely
+    * to differ for a true near neighbor (standard multi-probe LSH:
+    * recall of a wider signature without the candidate blowup of a
+    * shorter one; probe-side only, the corpus stays bucketed once).
+    */
+  def srpProbeBuckets(vec: Seq[Float], nBits: Int, extra: Int): Array[Int] = {
+    val v = vec.toArray
+    val pl = planes(nBits, v.length)
+    val margins = new Array[Double](nBits)
+    var sig = 0
+    var b = 0
+    while (b < nBits) {
+      val row = pl(b)
+      var s = 0.0
+      var d = 0
+      while (d < v.length) { s += v(d) * row(d); d += 1 }
+      if (s > 0) sig |= (1 << b)
+      margins(b) = math.abs(s)
+      b += 1
+    }
+    val order = margins.zipWithIndex.sortBy(_._1).map(_._2)
+    val n = math.min(extra, nBits)
+    val out = new Array[Int](1 + n)
+    out(0) = sig
+    var i = 0
+    while (i < n) { out(i + 1) = sig ^ (1 << order(i)); i += 1 }
+    out
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
     * (spark.ml KMeans, fixed seed, trained once and collected — the
     * centroid table is tiny) partitions the corpus into cells; each
@@ -239,12 +270,16 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       k: Int, nBits: Int = 8,
-      metric: (Column, Column) => Column = dotCol): DataFrame = {
+      metric: (Column, Column) => Column = dotCol,
+      multiProbe: Int = 0): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val sigUdf = udf((v: Seq[Float]) => srpSignature(v, nBits))
+    val probeUdf = udf((v: Seq[Float]) => srpProbeBuckets(v, nBits, multiProbe))
     val cb = corpus.withColumn("bucket", sigUdf(col("embedding")))
-    val pb = probes.withColumn("bucket", sigUdf(col("embedding")))
+    val pb =
+      if (multiProbe <= 0) probes.withColumn("bucket", sigUdf(col("embedding")))
+      else probes.withColumn("bucket", explode(probeUdf(col("embedding"))))
     val joined = cb.as("c").join(broadcast(pb.as("p")),
         col("c.bucket") === col("p.bucket") &&
         col("c.vec_id") =!= col("p.vec_id"))
@@ -252,8 +287,13 @@ object Similarity {
         col("p.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
         metric(col("p.embedding"), col("c.embedding")).as("score"))
+    // a probe can reach the same neighbor through several probed
+    // buckets; dedupe before ranking (single-probe pairs are unique
+    // by construction — no shuffle spent on them)
+    val uniq = if (multiProbe <= 0) joined
+      else joined.dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    uniq.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 }

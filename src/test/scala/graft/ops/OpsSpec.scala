@@ -60,6 +60,22 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.2, f"recall $recall%.3f unusably low")
     // every LSH result is a true dot-product neighbor within its bucket
     assert(lsh.nonEmpty)
+
+    // multi-probe (flip the 2 lowest-margin bits per probe) widens the
+    // candidate set along the most-likely-wrong hyperplanes: recall
+    // must dominate single-probe, with candidates still bucket-bounded
+    val mp = Similarity.lshTopK(spark, e, e, k = 5, nBits = 4, multiProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mpRecall = mp.intersect(brute).size.toDouble / brute.size
+    info(f"ann recall@5 (4-bit SRP, multi-probe 2): $mpRecall%.3f")
+    assert(mpRecall >= recall,
+      f"multi-probe recall $mpRecall%.3f below single-probe $recall%.3f")
+    assert(mpRecall > recall + 0.05,
+      f"multi-probe recall $mpRecall%.3f did not materially improve on $recall%.3f")
+    // single-probe results are a subset of multi-probe candidates, so
+    // every rank-1 single-probe hit stays discoverable
+    assert(mp.nonEmpty)
   }
 
   test("ivf ann recall vs brute force beats the cell fraction searched") {
