@@ -28,16 +28,21 @@ object SparkEntry {
   /** Unit-normalize the embedding column, so a plain dot IS the cosine
     * — one dot product per candidate pair instead of cosineCol's three
     * (it recomputes both norms per PAIR; normalizing each side once is
-    * the scale-correct place to pay the norm). The norm lives in its
-    * own column first: only an attribute REFERENCE enters the
-    * higher-order lambda, not the norm expression tree (the HOF
-    * re-evaluates whatever sits inside the lambda once per element).
+    * the scale-correct place to pay the norm). The norm must NOT be
+    * referenced from inside a higher-order lambda, not even via its
+    * own aliased column: Catalyst's CollapseProject inlines a
+    * single-use alias back into the lambda, where it re-evaluates once
+    * PER ELEMENT (the repo's recurring HOF trap). zip_with against
+    * array_repeat keeps the norm in an ordinary argument position —
+    * evaluated once per ROW — and only lambda variables inside.
     */
-  private def annUnit(df: DataFrame): DataFrame =
-    df.withColumn("nrm", graft.ops.Similarity.normCol(col("embedding")))
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => (x / col("nrm")).cast("float")).as("embedding"))
+  private def annUnit(df: DataFrame): DataFrame = {
+    val nrm = graft.ops.Similarity.normCol(col("embedding"))
+    df.select(col("vec_id"),
+      zip_with(col("embedding"),
+        array_repeat(nrm, size(col("embedding"))),
+        (x, n) => (x / n).cast("float")).as("embedding"))
+  }
 
   /** Flagship: the full KG extraction path on the reference corpus —
     * pages -> parity DOM extract -> labeled mentions -> triples. (The

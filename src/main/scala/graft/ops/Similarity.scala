@@ -96,37 +96,25 @@ object Similarity {
       Array.tabulate(b, d)(planeComponent)
     })
 
-  /** Signed-random-projection bucket id (nBits-bit signature). */
-  def srpSignature(vec: Seq[Float], nBits: Int): Int = {
-    val v = vec.toArray
-    val pl = planes(nBits, v.length)
-    var sig = 0
-    var b = 0
-    while (b < nBits) {
-      val row = pl(b)
-      var s = 0.0
-      var d = 0
-      while (d < v.length) {
-        s += v(d) * row(d)
-        d += 1
-      }
-      if (s > 0) sig |= (1 << b)
-      b += 1
-    }
-    sig
-  }
+  private val planeNormCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  private def planeNorms(nBits: Int, dim: Int): Array[Double] =
+    planeNormCache.computeIfAbsent((nBits, dim), { case (b, d) =>
+      planes(b, d).map(row => math.sqrt(row.map(x => x * x).sum))
+    })
 
-  /** Multi-probe bucket set: the base SRP bucket plus the buckets
-    * reached by flipping each of the `extra` LOWEST-MARGIN bits — the
-    * hyperplanes the vector sits closest to, i.e. the bits most likely
-    * to differ for a true near neighbor (standard multi-probe LSH:
-    * recall of a wider signature without the candidate blowup of a
-    * shorter one; probe-side only, the corpus stays bucketed once).
+  /** The ONE sign-projection loop both the bucketing and the probing
+    * paths share — a second copy of the hashing scheme diverging from
+    * the first would silently put probes in different buckets than the
+    * corpus. `margins` (when non-null) receives the TRUE point-to-
+    * hyperplane distances |v.p| / ||p|| — the generated planes are not
+    * unit rows, so an unnormalized |v.p| would bias flip ordering
+    * toward small-norm hyperplanes.
     */
-  def srpProbeBuckets(vec: Seq[Float], nBits: Int, extra: Int): Array[Int] = {
-    val v = vec.toArray
+  private def projectSig(v: Array[Float], nBits: Int,
+      margins: Array[Double]): Int = {
     val pl = planes(nBits, v.length)
-    val margins = new Array[Double](nBits)
+    val norms = if (margins == null) null else planeNorms(nBits, v.length)
     var sig = 0
     var b = 0
     while (b < nBits) {
@@ -135,9 +123,27 @@ object Similarity {
       var d = 0
       while (d < v.length) { s += v(d) * row(d); d += 1 }
       if (s > 0) sig |= (1 << b)
-      margins(b) = math.abs(s)
+      if (margins != null) margins(b) = math.abs(s) / norms(b)
       b += 1
     }
+    sig
+  }
+
+  /** Signed-random-projection bucket id (nBits-bit signature). */
+  def srpSignature(vec: Seq[Float], nBits: Int): Int =
+    projectSig(vec.toArray, nBits, null)
+
+  /** Multi-probe bucket set: the base SRP bucket first, then the
+    * buckets reached by flipping each of the `extra` LOWEST-MARGIN
+    * bits — the hyperplanes the vector sits closest to, i.e. the bits
+    * most likely to differ for a true near neighbor (standard
+    * multi-probe LSH: the recall of a wider signature without the
+    * candidate blowup of a shorter one; probe-side only, the corpus
+    * stays bucketed once).
+    */
+  def srpProbeBuckets(vec: Seq[Float], nBits: Int, extra: Int): Array[Int] = {
+    val margins = new Array[Double](nBits)
+    val sig = projectSig(vec.toArray, nBits, margins)
     val order = margins.zipWithIndex.sortBy(_._1).map(_._2)
     val n = math.min(extra, nBits)
     val out = new Array[Int](1 + n)
@@ -158,8 +164,7 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      maxTrain: Long = 200000L,
-      metric: (Column, Column) => Column = dotCol): DataFrame = {
+      maxTrain: Long = 200000L): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val toVec = udf((v: Seq[Float]) =>
@@ -258,7 +263,7 @@ object Similarity {
       .select(
         col("p.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
-        metric(col("p.embedding"), col("c.embedding")).as("score"))
+        dotCol(col("p.embedding"), col("c.embedding")).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -269,9 +274,7 @@ object Similarity {
     * multi-probe; the shuffle is bounded by bucket sizes.
     */
   def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
-      k: Int, nBits: Int = 8,
-      metric: (Column, Column) => Column = dotCol,
-      multiProbe: Int = 0): DataFrame = {
+      k: Int, nBits: Int = 8, multiProbe: Int = 0): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val sigUdf = udf((v: Seq[Float]) => srpSignature(v, nBits))
@@ -286,7 +289,7 @@ object Similarity {
       .select(
         col("p.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
-        metric(col("p.embedding"), col("c.embedding")).as("score"))
+        dotCol(col("p.embedding"), col("c.embedding")).as("score"))
     // a probe can reach the same neighbor through several probed
     // buckets; dedupe before ranking (single-probe pairs are unique
     // by construction — no shuffle spent on them)
