@@ -94,7 +94,7 @@ object Bench {
     * itself must also stay machine-parseable).
     */
   def jsonLine(results: Map[String, Double], failed: Map[String, String],
-      sfDir: String, scaling: String): String = {
+      sfDir: String, scaling: String, queryEnv: String = "null"): String = {
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -109,7 +109,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"sf":"${esc(sfDir)}","scaling":$scaling}"""
+      s""""failed":$failedJson,"sf":"${esc(sfDir)}",""" +
+      s""""query_env":$queryEnv,"scaling":$scaling}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -180,6 +181,15 @@ object Bench {
 
     // ---- phase 2: query suite ----
     val spark = session(cpus)
+    // contention telemetry for the QUERY phase too: scaling samples are
+    // individually stamped, but a co-tenant burst during the suite
+    // (min-of-2 per query can't outlast a multi-minute burst) was only
+    // visible by comparing absolute totals across rounds. load0/load1 +
+    // cpu_util make a poisoned suite self-diagnosing in the JSON.
+    val qLoad0 = loadAvg()
+    val qCpu0 = processCpuNs()
+    val qGc0 = gcMs()
+    val qT0 = System.nanoTime()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = (if (doQueries) SparkEntry.queries
       else Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
@@ -214,7 +224,16 @@ object Bench {
     }
     spark.stop()
 
-    val line = jsonLine(results, failed.toMap, sfDir, scaling)
+    val qSec = (System.nanoTime() - qT0) / 1e9
+    val qCpu1 = processCpuNs()
+    val queryEnv = if (!doQueries) "null" else {
+      val util = if (qCpu0 < 0 || qCpu1 < 0 || qSec <= 0) -1.0
+        else (qCpu1 - qCpu0) / 1e9 / (qSec * cpus)
+      f"""{"load_start":$qLoad0%.2f,"load_end":${loadAvg()}%.2f,""" +
+        f""""wall_sec":$qSec%.3f,"cpu_util":$util%.3f,""" +
+        f""""gc_ms":${gcMs() - qGc0}}"""
+    }
+    val line = jsonLine(results, failed.toMap, sfDir, scaling, queryEnv)
     // stdout (unprefixed via build.sbt outputStrategy) + file mirror so
     // the driver can machine-read it either way
     println(line)
