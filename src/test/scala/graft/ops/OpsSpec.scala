@@ -371,6 +371,23 @@ class OpsSpec extends AnyFunSuite {
     assert(m("max_bucket").asInstanceOf[Long] == 0L)
   }
 
+  test("srp signature is scale-invariant; probe set consistent with it") {
+    // sign(v.p) is invariant under positive scaling of v — the property
+    // the cosine-geometry bucketing relies on. Scales are exact powers
+    // of two, so the float multiply is exact and the test deterministic
+    // (an inexact scale could flip a near-zero projection's sign).
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val dim = 2 + rnd.nextInt(96)
+      val v = Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val sig = Similarity.srpSignature(v, 6)
+      Seq(0.25f, 0.5f, 2f, 1024f).foreach { a =>
+        assert(Similarity.srpSignature(v.map(_ * a), 6) == sig)
+      }
+      assert(Similarity.srpProbeBuckets(v, 6, 3)(0) == sig)
+    }
+  }
+
   test("fnv1a64 native expression matches the scala implementation") {
     import spark.implicits._
     val df = Seq("hello", "", "Ærøskøbing").toDF("s")
