@@ -138,6 +138,18 @@ object SparkEntry {
         .orderBy("tkn")
     }),
 
+    // Corpus unigram-LM quality score (the standard LM quality filter
+    // of web-scale pipelines): topK=20 is deliberately smaller than the
+    // documents vocabulary, so BOTH the in-vocab and OOV-floor paths
+    // are exercised and oracled. round(6) absorbs summation-order ulps
+    // between Spark's and DuckDB's avg-of-logs.
+    "doc_unigram_lm" -> ((s, dir) => {
+      graft.ops.TextAnalysis.unigramLogProb(t(s, dir, "documents"), topK = 20)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // Text analysis: token count + simple quality signals per doc.
     "doc_quality" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1079,6 +1091,19 @@ object SparkEntry {
       """SELECT tkn, COUNT(*) AS n FROM (
         |SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tkn FROM documents)
         |WHERE LENGTH(tkn) > 0 GROUP BY tkn ORDER BY tkn""".stripMargin,
+    "doc_unigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+        |  FROM documents),
+        |w2 AS (SELECT * FROM w WHERE LENGTH(word) > 0),
+        |c AS (SELECT word, COUNT(*) AS cnt FROM w2 GROUP BY word),
+        |t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+        |v AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT 20)
+        |SELECT w2.doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(AVG(LN(COALESCE(CAST(v.cnt AS DOUBLE), 0.5) / t.total)), 6)
+        |    AS avg_logp
+        |FROM w2 LEFT JOIN v USING (word) CROSS JOIN t
+        |GROUP BY w2.doc_id ORDER BY doc_id""".stripMargin,
     "doc_quality" ->
       """SELECT doc_id, lang,
         |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,

@@ -62,4 +62,41 @@ object TextAnalysis {
   /** Rolling-hash fingerprint via the native Fnv1a64 expression. */
   def fingerprint(spark: SparkSession, text: Column): Column =
     GraftFunctions.fnv1a64(spark, text)
+
+  /** Corpus unigram-LM quality score — the standard LM-based filter of
+    * web-scale training-data pipelines: per document, the mean
+    * log P(w) of its tokens under the corpus's own unigram model,
+    * with the vocabulary bounded to the `topK` most frequent words
+    * (ties broken by word order) and a floor probability of
+    * 0.5 / total_tokens for everything outside it.
+    *
+    * Shapes for 100 TB:
+    *  - counting is one map-side-combinable word aggregation;
+    *  - top-K is `TakeOrderedAndProject` (distributed partial top-K per
+    *    partition + tiny driver merge — NOT a full sort of the vocab);
+    *  - the bounded vocab then broadcast-joins the exploded token
+    *    stream (web vocabulary is unbounded, the broadcast is not);
+    *  - the corpus total rides along as a broadcast single row.
+    *
+    * @return (doc_id, n_tokens, avg_logp)
+    */
+  def unigramLogProb(docs: DataFrame, topK: Int = 50000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    val vocab = counts
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(topK)
+    words
+      .join(broadcast(vocab), Seq("word"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(when(col("cnt").isNotNull, col("cnt").cast("double"))
+          .otherwise(lit(0.5)) / col("total")).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), avg(col("logp")).as("avg_logp"))
+  }
 }
