@@ -64,6 +64,14 @@ object Bench {
       case _ => -1L
     }
 
+  /** Utilization of the core budget over a span: 1.0 = all `cores`
+    * busy the whole time; -1 when the JVM can't report CPU time.
+    */
+  private def cpuUtilOf(cpu0: Long, cpu1: Long, sec: Double,
+      cores: Int): Double =
+    if (cpu0 < 0 || cpu1 < 0 || sec <= 0) -1.0
+    else (cpu1 - cpu0) / 1e9 / (sec * cores)
+
   /** One scaling sample: wall seconds + contention telemetry. */
   private final case class Sample(cores: Int, triples: Long, sec: Double,
       load: Double, cpuUtil: Double, gcMsDelta: Long) {
@@ -82,11 +90,8 @@ object Bench {
     val cpu1 = processCpuNs()
     val gc1 = gcMs()
     spark.stop()
-    // utilization of the core budget: 1.0 = all `cores` busy the whole
-    // run; well under 1.0 at high loadavg = the host starved us
-    val util = if (cpu0 < 0 || cpu1 < 0) -1.0
-      else (cpu1 - cpu0) / 1e9 / (sec * cores)
-    Sample(cores, n, sec, ld, util, gc1 - gc0)
+    // well under 1.0 at high loadavg = the host starved us
+    Sample(cores, n, sec, ld, cpuUtilOf(cpu0, cpu1, sec, cores), gc1 - gc0)
   }
 
   /** The driver-contract JSON line (pure, unit-testable — BENCH_r01 was
@@ -114,6 +119,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the f-interpolated telemetry numbers must be locale-independent:
+    // a comma-decimal default locale would render {"load":0,42} and
+    // break the machine-readable line (the BENCH_r01 failure class)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "120000").toLong
@@ -227,8 +236,7 @@ object Bench {
     val qSec = (System.nanoTime() - qT0) / 1e9
     val qCpu1 = processCpuNs()
     val queryEnv = if (!doQueries) "null" else {
-      val util = if (qCpu0 < 0 || qCpu1 < 0 || qSec <= 0) -1.0
-        else (qCpu1 - qCpu0) / 1e9 / (qSec * cpus)
+      val util = cpuUtilOf(qCpu0, qCpu1, qSec, cpus)
       f"""{"load_start":$qLoad0%.2f,"load_end":${loadAvg()}%.2f,""" +
         f""""wall_sec":$qSec%.3f,"cpu_util":$util%.3f,""" +
         f""""gc_ms":${gcMs() - qGc0}}"""

@@ -90,7 +90,7 @@ object TextAnalysis {
     val vocab = counts
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(topK)
-    words
+    val scored = words
       .join(broadcast(vocab), Seq("word"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
@@ -98,5 +98,13 @@ object TextAnalysis {
           .otherwise(lit(0.5)) / col("total")).as("logp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), avg(col("logp")).as("avg_logp"))
+    // a zero-token document must SURFACE (n_tokens = 0, null score),
+    // not vanish: the op is a quality filter, and the worst-quality
+    // docs are exactly the ones that would otherwise silently bypass it
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_logp"))
   }
 }

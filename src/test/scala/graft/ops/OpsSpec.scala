@@ -371,23 +371,28 @@ class OpsSpec extends AnyFunSuite {
     assert(m("max_bucket").asInstanceOf[Long] == 0L)
   }
 
-  test("unigram LM score: exact closed form incl. OOV floor") {
+  test("unigram LM score: exact closed form incl. OOV floor; empty doc surfaces") {
     import spark.implicits._
-    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "a"))
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "a"), (4L, ""))
       .toDF("doc_id", "text")
     // counts: a=3, b=2, c=1, total=6; topK=2 keeps {a, b}; c -> 0.5/6
-    val got = TextAnalysis.unigramLogProb(docs, topK = 2)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = TextAnalysis.unigramLogProb(docs, topK = 2).collect()
+    val got = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     def ln(x: Double) = math.log(x)
     val want = Map(
       1L -> (3L, (2 * ln(3.0 / 6) + ln(2.0 / 6)) / 3),
       2L -> (2L, (ln(2.0 / 6) + ln(0.5 / 6)) / 2),
       3L -> (1L, ln(3.0 / 6)))
-    assert(got.keySet == want.keySet)
+    assert(got.keySet == want.keySet + 4L)
     want.foreach { case (id, (n, lp)) =>
       assert(got(id)._1 == n)
-      assert(math.abs(got(id)._2 - lp) < 1e-12, s"doc $id: ${got(id)._2} vs $lp")
+      assert(math.abs(got(id)._2.get - lp) < 1e-12,
+        s"doc $id: ${got(id)._2} vs $lp")
     }
+    // the zero-token doc is the worst-quality input — it must SURFACE
+    // (n_tokens = 0, null score), not silently bypass the filter
+    assert(got(4L) == ((0L, None)))
   }
 
   test("srp signature is scale-invariant; probe set consistent with it") {
