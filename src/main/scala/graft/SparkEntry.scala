@@ -37,10 +37,14 @@ object SparkEntry {
     * evaluated once per ROW — and only lambda variables inside.
     */
   private def annUnit(df: DataFrame): DataFrame = {
+    // zero-norm guard: an all-zero row divides by 1 (passes through
+    // unscaled) instead of producing NaN components (0/0), which would
+    // poison the planted-twin oracles with unpredictable NaN ranking
     val nrm = graft.ops.Similarity.normCol(col("embedding"))
+    val safe = when(nrm > 0, nrm).otherwise(lit(1.0))
     df.select(col("vec_id"),
       zip_with(col("embedding"),
-        array_repeat(nrm, size(col("embedding"))),
+        array_repeat(safe, size(col("embedding"))),
         (x, n) => (x / n).cast("float")).as("embedding"))
   }
 
@@ -388,6 +392,32 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // ANN exhaustive-mode oracles: the approximate paths dialed to
+    // their provably-exact settings — lshTopK with nBits = 0 collapses
+    // the corpus into ONE bucket, and ivfTopK with nprobe = nlist
+    // searches EVERY quantizer cell — so the k=5 output is identical to
+    // brute force by construction and DuckDB oracles the full ranking
+    // machinery (window, `score desc, neighbor_id asc` tie order, the
+    // k cut) by rows+schema+hash. dot_f32 accumulates left-to-right in
+    // double, bit-identical to LIST_DOT_PRODUCT(CAST(.. AS DOUBLE[])),
+    // so the rank order cannot diverge. The approximate k=5 variants
+    // above stay as the honest scale surface (recall vs brute force in
+    // OpsSpec).
+    "ann_lsh_exhaustive_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 500)
+      graft.ops.Similarity.lshTopK(s, e, probes, k = 5, nBits = 0)
+        .select("query_id", "neighbor_id", "rk")
+        .orderBy("query_id", "rk")
+    }),
+    "ann_ivf_exhaustive_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 500)
+      graft.ops.Similarity.ivfTopK(s, e, probes, k = 5, nlist = 8, nprobe = 8)
+        .select("query_id", "neighbor_id", "rk")
+        .orderBy("query_id", "rk")
+    }),
+
     // ANN planted-twin oracles: each probe is an exact copy (id+2^40)
     // of a corpus vector. An identical vector deterministically shares
     // its twin's SRP bucket / IVF cell, and by COSINE the twin scores
@@ -445,6 +475,32 @@ object SparkEntry {
       graft.ops.Multimodal.decode(s, media).toDF()
         .select(col("media_id").as("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal REAL decode oracled end-to-end: deterministic grayscale
+    // PNGs are generated per document (pixel (x,y) = (doc_id*31 + x*7 +
+    // y*13) mod 256, dims from doc_id/text length), encoded with the
+    // JDK's PNG writer, then decoded back through the javax.imageio
+    // reader path — width/height/band-count/pixel-sum are all
+    // closed-form from the generator parameters, so DuckDB reproduces
+    // every column without any image library. PNG is lossless: the
+    // decoded samples are the written samples exactly.
+    "mm_decode_real" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .as[(Long, Int)]
+        .map { case (id, len) =>
+          val w = 3 + (id % 13).toInt
+          val h = 2 + len % 11
+          (id, graft.ops.Multimodal.syntheticImage(id, w, h, "png"))
+        }.toDF("media_id", "media")
+      graft.ops.Multimodal.decodeImage(s, media).toDF()
+        .select(col("media_id").as("doc_id"), col("status"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("bands").cast("long").as("bands"), col("pixel_sum"))
         .orderBy("doc_id")
     }),
 
@@ -1194,6 +1250,28 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |WHERE a.vec_id < 500
         |GROUP BY a.vec_id ORDER BY query_id""".stripMargin,
+    // exhaustive-mode ANN: approximate path == brute force by
+    // construction, so the full k=5 ranking oracles in closed form
+    "ann_lsh_exhaustive_topk" ->
+      """SELECT query_id, neighbor_id, rk FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) DESC,
+        |               b.vec_id ASC) AS rk
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 500)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "ann_ivf_exhaustive_topk" ->
+      """SELECT query_id, neighbor_id, rk FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) DESC,
+        |               b.vec_id ASC) AS rk
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 500)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // planted-twin ANN invariants: rank-1 by cosine for an exact-copy
     // probe is deterministically its twin (no duplicate vectors exist
     // in the corpus), so the approximate paths oracle in closed form
@@ -1208,6 +1286,17 @@ object SparkEntry {
         |CAST(LENGTH(text) % 97 AS BIGINT) AS width,
         |CAST((LENGTH(text) * 7) % 89 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 3 + doc_id % 13 AS w, 2 + LENGTH(text) % 11 AS h
+        |  FROM documents)
+        |SELECT doc_id, 'ok' AS status, 'png' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS bands,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x ->
+        |      (doc_id*31 + x*7 + y*13) % 256)))) AS BIGINT) AS pixel_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
     "dedup_embed_cosine" ->
       """SELECT vec_id AS id_a, vec_id + 1099511627776 AS id_b,
         |CAST(1.0 AS DOUBLE) AS cosine

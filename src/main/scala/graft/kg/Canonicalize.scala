@@ -33,6 +33,18 @@ object Canonicalize {
     */
   def components(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import spark.implicits._
+    // Pregel honors spark.graphx.pregel.checkpointInterval (set in
+    // kg.Main and the test session): every N iterations the graph RDDs
+    // checkpoint, truncating the otherwise maxIter-deep lineage — on a
+    // billion-edge graph an executor loss late in CC would replay
+    // every prior iteration. Checkpointing needs a directory; provide
+    // a local temp one when the caller hasn't set a durable one
+    // (kg.Main sets <outDir>/_checkpoints).
+    val sc = spark.sparkContext
+    if (sc.getConf.getInt("spark.graphx.pregel.checkpointInterval", -1) > 0 &&
+        sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
     val edges = pairs
       .select(nameIdUdf(col("name_a")).as("src"), nameIdUdf(col("name_b")).as("dst"))
       .as[(Long, Long)].rdd

@@ -83,20 +83,25 @@ object Linker {
   }
 
   /** Exact-normal-form links: names whose normalization collides are the
-    * same entity (accent/case variants). groupBy on the normal form —
-    * one bounded shuffle.
+    * same entity (accent/case variants). Chain-paired via `lead()` over
+    * a (norm, name) sort — sorted-adjacent neighbors connect the whole
+    * variant group for the downstream connected components exactly like
+    * a star pairing would, but with NO `collect_list` row: a degenerate
+    * normal form shared by millions of names streams through the
+    * spillable external sort (O(n) pairs, O(1) state per row) instead
+    * of materializing one unbounded aggregation row. Same discipline as
+    * `Dedup.boundedBucketPairs`'s hot-bucket branch.
     */
   def exactNormLinks(spark: SparkSession, names: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("norm").orderBy("name")
     names
       .withColumn("norm", normUdf(col("name")))
-      .groupBy("norm").agg(collect_list(col("name")).as("variants"))
-      .filter(size(col("variants")) > 1)
-      .select(explode(expr(
-        "transform(slice(variants, 2, size(variants) - 1), v -> struct(variants[0] as a, v as b))"))
-        .as("pair"))
+      .withColumn("next_name", lead(col("name"), 1).over(w))
+      .filter(col("next_name").isNotNull)
       .select(
-        least(col("pair.a"), col("pair.b")).as("name_a"),
-        greatest(col("pair.a"), col("pair.b")).as("name_b"),
+        least(col("name"), col("next_name")).as("name_a"),
+        greatest(col("name"), col("next_name")).as("name_b"),
         lit(0.0).as("dist"))
   }
 }

@@ -102,17 +102,23 @@ object Main {
         minCount = stMinCount)
     }
 
+    // Stage input_rows from here on derive from the PREVIOUS stage's
+    // lineage output_rows total (Stages.outputRowsOf — free in-run,
+    // one tiny lineage read on resume) instead of a fresh count() over
+    // the previous stage's materialized parquet, which cost ~7
+    // redundant full-table scan jobs per pipeline run.
+
     // hmm mode: ONE checkpointed Viterbi pass whose decoded tags feed
     // both the mention and the relation projections (decoding twice
     // would double the dominant inference cost); gold mode uses the
     // carried labels directly
-    val (tagged, tagConfidence) = tagger match {
+    val (tagged, tagConfidence, taggedStage) = tagger match {
       case "hmm" =>
-        val t = stages.stage("tagged", sents.count()) {
+        val t = stages.stage("tagged", stages.outputRowsOf("sentences")) {
           Triples.decodedSentences(spark, hmmModel,
             sents.as[graft.spark.SentenceRow]).toDF()
         }
-        (t, 0.9)
+        (t, 0.9, "tagged")
       // "bilstm:<weightsDir>" — imported Bi-LSTM-CRF weights
       // (graft.tag.BiLstmWeightsIO layout), same ONE-decode-pass shape
       // as the HMM path. The load stays INSIDE the stage block so a
@@ -120,23 +126,23 @@ object Main {
       // driver; whether the weights were trained with the 7 numeric
       // features is derived from the kernel width.
       case b if b.startsWith("bilstm:") =>
-        val t = stages.stage("tagged", sents.count()) {
+        val t = stages.stage("tagged", stages.outputRowsOf("sentences")) {
           val scorer = graft.tag.BiLstmWeightsIO.load(spark,
             b.stripPrefix("bilstm:"))
           graft.tag.BiLstmCrf.decodedSentences(spark, scorer,
             sents.as[graft.spark.SentenceRow],
             useFeatures = graft.tag.BiLstmCrf.expectsFeatures(scorer)).toDF()
         }
-        (t, 0.9)
-      case _ => (sents, 1.0)
+        (t, 0.9, "tagged")
+      case _ => (sents, 1.0, "sentences")
     }
 
-    val mentions = stages.stage("mentions", tagged.count()) {
+    val mentions = stages.stage("mentions", stages.outputRowsOf(taggedStage)) {
       Triples.goldMentions(spark, tagged.as[graft.spark.SentenceRow],
         tagConfidence).toDF()
     }
 
-    val triples = stages.stage("triples", mentions.count()) {
+    val triples = stages.stage("triples", stages.outputRowsOf("mentions")) {
       Triples.fromMentions(spark,
         mentions.as[graft.spark.Mention]).toDF()
     }
@@ -144,25 +150,25 @@ object Main {
     // surface-pattern relation candidates (hasTitle/hasEmail) — same
     // narrow flatMap shape as mention projection, over the same tagged
     // sentences; canonicalized on the subject side in the edges stage
-    val relations = stages.stage("relations", tagged.count()) {
+    val relations = stages.stage("relations", stages.outputRowsOf(taggedStage)) {
       Relations.goldRelations(spark, tagged.as[graft.spark.SentenceRow],
         tagConfidence).toDF()
     }
 
-    val links = stages.stage("links", triples.count()) {
+    val links = stages.stage("links", stages.outputRowsOf("triples")) {
       val vocab = Linker.nameVocab(spark, triples.as[graft.spark.Triple])
       val lsh = Linker.candidatePairs(spark, vocab, maxDistance = 0.3)
       val exact = Linker.exactNormLinks(spark, vocab)
       lsh.unionByName(exact).dropDuplicates("name_a", "name_b")
     }
 
-    val nodes = stages.stage("nodes", links.count()) {
+    val nodes = stages.stage("nodes", stages.outputRowsOf("links")) {
       val vocab = Linker.nameVocab(spark, triples.as[graft.spark.Triple])
       val membership = Canonicalize.components(spark, links)
       Canonicalize.entities(spark, vocab, membership)
     }
 
-    val edges = stages.stage("edges", nodes.count()) {
+    val edges = stages.stage("edges", stages.outputRowsOf("nodes")) {
       Canonicalize.canonicalEdges(spark,
           triples.as[graft.spark.Triple], nodes)
         .unionByName(Canonicalize.canonicalSubjectEdges(spark,
@@ -185,8 +191,14 @@ object Main {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // checkpoint the GraphX CC iterations (SURVEY §4): without it a
+      // late executor loss replays the whole 20-deep Pregel lineage
+      .config("spark.graphx.pregel.checkpointInterval", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // durable checkpoint location next to the stage outputs (works for
+    // hdfs://, s3a:// outDirs too — same FileSystem resolution)
+    spark.sparkContext.setCheckpointDir(s"$outDir/_checkpoints")
     val edges = run(spark, pagesSrc, outDir, tagger)
     val n = edges.count()
     val stages = new Stages(spark, outDir)

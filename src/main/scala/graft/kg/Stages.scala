@@ -36,6 +36,35 @@ final class Stages(spark: SparkSession, base: String) {
     else raw.withColumn("skipped_rows", lit(0L))
   }
 
+  /** output_rows totals of stages computed by THIS runner — recorded
+    * for free while the lineage rows are built, so downstream stages
+    * never re-count a materialized parquet just to fill a lineage
+    * field.
+    */
+  private val computedOutputRows =
+    scala.collection.mutable.Map.empty[String, Long]
+
+  /** Total output rows of stage `name` — the lineage-derived stand-in
+    * for a fresh `count()` over the stage's parquet (a pipeline of K
+    * stages would otherwise pay ~K redundant full-table scans just to
+    * record each stage's input_rows; stage N's input IS stage N-1's
+    * output, already durably recorded per partition). Resolution:
+    * recorded this run (free) -> summed from the lineage table (the
+    * resume path; one tiny-file read) -> -1 (unknown — e.g. a stage
+    * dir that survived a crash whose lineage write did not; callers
+    * record -1 rather than guessing).
+    */
+  def outputRowsOf(name: String): Long =
+    computedOutputRows.getOrElseUpdate(name, {
+      try {
+        val rows = lineage().filter(col("stage") === name)
+          .agg(sum(col("output_rows"))).collect()
+        if (rows.isEmpty || rows(0).isNullAt(0)) -1L else rows(0).getLong(0)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => -1L // no lineage yet
+      }
+    })
+
   /** Run (or resume) one stage. `inputRows`/`skippedRows` are recorded
     * in lineage (evaluated AFTER the stage materializes, so accumulator
     * values are populated); pass -1 when unknown.
@@ -53,9 +82,22 @@ final class Stages(spark: SparkSession, base: String) {
       val out = spark.read.parquet(dir)
       val inRows = inputRows
       val skipRows = skippedRows
-      val perPartition = out
+      // ONE scan produces both the per-partition lineage rows and the
+      // stage's output total: the aggregate collects to the driver
+      // (bounded — one (int, long) pair per output partition), the
+      // total feeds outputRowsOf, and the lineage parquet is written
+      // from the local rows without a second scan. An empty stage
+      // still writes one sentinel row (partition_id -1, 0 rows) so the
+      // resume path can distinguish "ran, produced nothing" from
+      // "never ran".
+      val partRows: Array[(Int, Long)] = out
         .groupBy(spark_partition_id().as("partition_id"))
         .agg(count(lit(1)).as("output_rows"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val rows = if (partRows.isEmpty) Array((-1, 0L)) else partRows
+      computedOutputRows(name) = partRows.map(_._2).sum
+      spark.createDataFrame(rows.toIndexedSeq)
+        .toDF("partition_id", "output_rows")
         .select(
           lit(name).as("stage"),
           col("partition_id"),
@@ -63,7 +105,8 @@ final class Stages(spark: SparkSession, base: String) {
           lit(skipRows).as("skipped_rows"),
           col("output_rows"),
           lit(wallMs).as("wall_ms"))
-      perPartition.write.mode("append").parquet(lineagePath)
+        .coalesce(1)
+        .write.mode("append").parquet(lineagePath)
       out
     }
   }

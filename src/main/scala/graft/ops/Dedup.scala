@@ -263,6 +263,14 @@ object Dedup {
     * chain-pair on the embedding hash (exact copies sort adjacent), so
     * clustered corpora stay bounded without losing exact-duplicate
     * recall — see the class doc.
+    *
+    * PRECONDITION: `vec_id` must be unique. A duplicated id would fan a
+    * candidate pair out in the join-back and the surviving row's cosine
+    * would come from whichever representative embedding the
+    * `dropDuplicates` kept first — nondeterministic across runs. The
+    * dedup below exists to keep the OUTPUT keyed by (id_a, id_b), not
+    * to repair duplicate inputs; run `doc_dedup_exact`-style keying
+    * upstream if ids can repeat.
     */
   def embeddingCosinePairs(spark: SparkSession, embeddings: DataFrame,
       minCosine: Double, nBits: Int = 6, maxBucket: Int = 500,

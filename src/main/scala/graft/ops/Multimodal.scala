@@ -8,13 +8,109 @@ import org.apache.spark.sql.functions._
   * analog of `mapInPandas` — one buffer of rows per partition feeds the
   * "decoder" in batches, keeping the codec boundary wide).
   *
-  * The actual image/audio decode is STUBBED (no codec libs in this
-  * container): `decodeStub` derives deterministic metadata and a fake
+  * [[decodeImage]] is a REAL image decode via the JDK's `javax.imageio`
+  * (PNG/BMP/GIF/JPEG readers ship with every JRE — zero external
+  * dependencies): dimensions, band count, format name and an exact
+  * pixel-sample sum, with corrupt/undecodable rows SURFACED as
+  * status='error' rows rather than killing the job (at 10^12 documents
+  * some media bytes are always broken).
+  *
+  * The exotic-codec seam (video/audio formats the JDK lacks) stays
+  * STUBBED: `decodeStub` derives deterministic metadata and a fake
   * feature vector from the bytes. The Spark-side contract — schema,
-  * batch shape, partitioning, null handling — is real and tested;
-  * swapping in a real decoder changes only the function body.
+  * batch shape, partitioning, null handling — is identical between the
+  * two; swapping a real codec in changes only the kernel body.
   */
 object Multimodal {
+
+  final case class DecodedImage(
+      media_id: Long, status: String, format: String,
+      width: Int, height: Int, bands: Int, pixel_sum: Long)
+
+  /** Decode one image with javax.imageio. Never throws: undecodable
+    * bytes (no registered reader, truncated stream, null payload)
+    * come back as a status='error' row. The input stream is memory-
+    * cached explicitly — ImageIO's default FileCache would write every
+    * image to executor-local tmp files.
+    */
+  def decodeImageOne(id: Long, bytes: Array[Byte]): DecodedImage = {
+    val err = DecodedImage(id, "error", "", -1, -1, 0, 0L)
+    if (bytes == null || bytes.length == 0) return err
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return err
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = reader.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          DecodedImage(id, "ok", fmt, w, h, bands, sum)
+        } finally reader.dispose()
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => err
+    }
+  }
+
+  /** media(media_id BIGINT, media BINARY) -> real ImageIO decode,
+    * batched per partition like [[decode]] (the batch layer is where a
+    * vectorized codec would take one call per batch).
+    */
+  def decodeImage(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) => decodeImageOne(id, bytes) }
+        }
+      }
+  }
+
+  /** Deterministic grayscale test image: pixel (x, y) of image `seed`
+    * is `(seed*31 + x*7 + y*13) mod 256`, encoded with the JDK's own
+    * writer for `format` ("png" or "bmp" — both lossless, so a decode
+    * reads the exact samples back and the pixel sum is closed-form).
+    */
+  def syntheticImage(seed: Long, w: Int, h: Int,
+      format: String = "png"): Array[Byte] = {
+    require(w > 0 && h > 0, "image dims must be positive")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((seed * 31 + x * 7 + y * 13) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, bos)
+    require(ok, s"no JDK ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
 
   final case class MediaMeta(width: Int, height: Int, channels: Int, format: String)
   final case class Decoded(

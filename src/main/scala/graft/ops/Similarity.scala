@@ -176,12 +176,13 @@ object Similarity {
     // maxIter full passes over its input, so fitting on the whole
     // corpus would dominate the query at scale. Sizing the sample
     // without a full-corpus count:
-    //  1. a BOUNDED probe — take(4*maxTrain + 1) over a constant
-    //     column. Dataset.take schedules partitions INCREMENTALLY
-    //     (1, then 4x more, ...), so a huge corpus answers from its
-    //     first partition or two, and the driver holds at most
-    //     ~4*maxTrain one-int rows for a moment. If the probe comes
-    //     back under its cap, it IS the exact row count: small corpora
+    //  1. a BOUNDED probe — limit(4*maxTrain + 1).count() over a
+    //     constant column: LocalLimit short-circuits each partition at
+    //     the cap and only a SCALAR returns to the driver (a take()
+    //     here would materialize up to 4*maxTrain Row objects on the
+    //     driver — a transient multi-tens-of-MB heap spike for a
+    //     number we only compare against thresholds). If the probe
+    //     comes back under its cap, it IS the exact row count: small corpora
     //     train whole (even when skewed into few partitions), mid-size
     //     corpora get a seeded uniform Bernoulli sample of a now-known
     //     fraction — no storage-order bias;
@@ -198,7 +199,7 @@ object Similarity {
     val probeCap = math.min(4L * math.max(1L, maxTrain),
       (Int.MaxValue - 2).toLong).toInt
     val probed: Long =
-      vecs.select(lit(1).as("one")).take(probeCap + 1).length.toLong
+      vecs.select(lit(1).as("one")).limit(probeCap + 1).count()
     val trainSrc =
       if (probed <= maxTrain) vecs
       else if (probed <= probeCap)  // probed == exact corpus count

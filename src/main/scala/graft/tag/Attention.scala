@@ -128,8 +128,10 @@ object Attention {
       values: Array[Array[Double]], wv: Dense): Array[Array[Double]] = {
     require(values.isEmpty || wv.out == values(0).length,
       s"residual add needs dense(out=${wv.out}) == values dim ${values(0).length}")
-    require(queries.length <= values.length,
-      "residual add pairs query i with values(i)")
+    require(queries.length == values.length,
+      "residual add (outputs += values) needs equal sequence lengths; " +
+        "a shorter query sequence would silently compute a truncated, " +
+        "nonstandard result")
     val v = wv(values)
     queries.zipWithIndex.map { case (qv, qi) =>
       val scores = keys.map(kv =>

@@ -66,6 +66,107 @@ class LinkSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("support") == 100500L)
   }
 
+  test("exact-norm chain links connect all variants of one normal form") {
+    // accent/case variants of one name + an unrelated name: the lead()
+    // chain pairing must connect the whole variant group (CC needs
+    // connectivity, not the star shape) without any collect_list row
+    val names = namesDf(
+      ("jose garcia", 5L), ("José García", 3L), ("JOSE GARCIA", 1L),
+      ("Ada L", 1L))
+    val links = Linker.exactNormLinks(spark, names)
+    val membership = Canonicalize.components(spark, links)
+    val comps = membership.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(comps.size == 3) // the three garcia variants linked
+    assert(comps.values.toSet.size == 1, "one component")
+    assert(!comps.contains("Ada L")) // no degenerate self-links
+  }
+
+  test("CC iterations checkpoint under spark.graphx.pregel.checkpointInterval") {
+    import spark.implicits._
+    // the test session sets checkpointInterval=2 (TestSpark);
+    // components() provides a temp checkpoint dir if none is set. A
+    // 12-node path graph needs ~12 min-id propagation rounds, so
+    // several Pregel iterations checkpoint along the way.
+    assert(spark.sparkContext.getConf
+      .getInt("spark.graphx.pregel.checkpointInterval", -1) == 2)
+    val chain = (1 until 12).map(i => (f"cc node $i%02d", f"cc node ${i + 1}%02d"))
+    val pairs = chain.toDF("name_a", "name_b")
+    val membership = Canonicalize.components(spark, pairs)
+    val comps = membership.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(comps.length == 12)
+    assert(comps.map(_._2).distinct.length == 1, "one chain component")
+    // checkpoint dir was set and RDD checkpoints were actually written
+    val dir = spark.sparkContext.getCheckpointDir
+    assert(dir.nonEmpty, "components() must ensure a checkpoint dir")
+    def hasRddDir(f: java.io.File): Boolean =
+      f.isDirectory && (f.getName.startsWith("rdd-") ||
+        (f.listFiles != null && f.listFiles.exists(hasRddDir)))
+    val localPath = dir.get.stripPrefix("file:")
+    assert(hasRddDir(new java.io.File(localPath)),
+      s"expected rdd-* checkpoint data under ${dir.get}")
+  }
+
+  test("mention-level hot-alias skew: AQE splits the skewed edges join") {
+    import spark.implicits._
+    // A hot ALIAS is one row in the linking vocabulary (Linker works on
+    // distinct names), so mention-level skew lands on the edges join:
+    // triples JOIN alias->entity ON obj. One alias holding ~20% of all
+    // mentions funnels 20% of the fact side through one shuffle
+    // partition — exactly what AQE's skew-join split is for. Conf
+    // thresholds are scaled down so the test corpus triggers the same
+    // runtime re-plan a 100 TB run would.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val ts = new java.sql.Timestamp(0L)
+      val nAliases = 200
+      val triples = spark.range(0, 50000).map { i =>
+        val alias =
+          if (i % 5 == 0) "Hot Wang" // 20% of mentions
+          else f"Cold Name ${i % nAliases}%03d"
+        graft.spark.Triple(s"doc://skew/$i", "mentionsPerson", alias,
+          s"doc://skew/$i", ts, 1.0)
+      }
+      val nodes = (("Hot Wang", Seq("Hot Wang", "H. Wang")) +:
+        (0 until nAliases).map(a =>
+          (f"Cold Name $a%03d", Seq(f"Cold Name $a%03d"))))
+        .toDF("canonical_name", "aliases")
+        .select(
+          format_string("person:%03d", monotonically_increasing_id())
+            .as("entity_id"),
+          col("canonical_name"), col("aliases"))
+      val edges = Canonicalize.canonicalEdges(spark, triples, nodes)
+      // execute the edges plan ITSELF (count() would build a separate
+      // aggregate plan and leave edges' adaptive plan non-final)
+      val n = edges.collect().length
+      assert(n == 50000, s"every mention canonicalizes exactly once, got $n")
+      val plan = edges.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected an AQE skew-split join in the final plan:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+  }
+
   test("alias dictionary links resolve through the broadcast map") {
     val names = namesDf(("Bill Gates", 5L), ("William Gates", 2L), ("Ada L", 1L))
     val dict = spark.sparkContext.broadcast(Map(

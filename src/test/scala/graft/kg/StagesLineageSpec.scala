@@ -34,4 +34,32 @@ class StagesLineageSpec extends AnyFunSuite {
     assert(byStage("old_stage") == 0L) // null-filled, not NPE
     assert(byStage("s_new") == 1L)
   }
+
+  test("outputRowsOf: in-run totals + lineage-derived resume, no recount") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stages_outrows").toString
+    val st = new Stages(spark, base)
+    st.stage("a") { Seq(1, 2, 3).toDF("id") }
+    // recorded for free while the stage's lineage rows were built
+    assert(st.outputRowsOf("a") == 3L)
+    // downstream stage records the lineage-derived input_rows
+    st.stage("b", st.outputRowsOf("a")) { Seq(9).toDF("id") }
+    val linB = st.lineage().filter(col("stage") === "b").collect()
+    assert(linB.forall(_.getAs[Long]("input_rows") == 3L))
+    // an empty stage writes the sentinel row (ran, produced nothing)
+    st.stage("empty") { Seq.empty[Int].toDF("id") }
+    assert(st.outputRowsOf("empty") == 0L)
+
+    // RESUME: a fresh Stages (new run over the same outDir) derives
+    // totals from the lineage table — no recount of stage parquet
+    val st2 = new Stages(spark, base)
+    assert(st2.outputRowsOf("a") == 3L)
+    assert(st2.outputRowsOf("b") == 1L)
+    assert(st2.outputRowsOf("empty") == 0L)
+    assert(st2.outputRowsOf("never_ran") == -1L)
+    // and a resumed downstream stage records the derived input_rows
+    st2.stage("c", st2.outputRowsOf("b")) { Seq((1, 2)).toDF("x", "y") }
+    val linC = st2.lineage().filter(col("stage") === "c").collect()
+    assert(linC.forall(_.getAs[Long]("input_rows") == 1L))
+  }
 }

@@ -61,7 +61,7 @@ class AttentionSpec extends AnyFunSuite {
     // exact_attention's residual lines are LIVE in the reference
     // (attention.py:181-184, residual='add' at model.py:223): the raw
     // value vector of the query's own position is added back.
-    val q = Array(Array(1.0, 2.0), Array(9.0, 9.0))
+    val q = Array(Array(1.0, 2.0), Array(9.0, 9.0), Array(3.0, 4.0))
     val k = Array(Array(1.0, 2.0), Array(1.0, 2.0), Array(3.0, 4.0))
     val v = Array(Array(6.0), Array(12.0), Array(300.0))
     val got = Attention.exactAttention(q, k, v, identityDense(1))
@@ -71,6 +71,15 @@ class AttentionSpec extends AnyFunSuite {
     assert(math.abs(got(0)(0) - (a * 6 + a * 12 + b * 300 + 6.0)) < 1e-10)
     // q1 matches nothing: uniform average, + its own value v(1)=12
     assert(math.abs(got(1)(0) - ((6.0 + 12.0 + 300.0) / 3 + 12.0)) < 1e-10)
+    // q2 matches k2: scores [0,0,1] -> softmax [1,1,e]/(2+e), + v(2)=300
+    assert(math.abs(got(2)(0) -
+      ((6.0 + 12.0 + 300.0 * e) / (2 + e) + 300.0)) < 1e-10)
+    // the residual pairs query i with values(i): unequal lengths must
+    // fail loudly, not silently truncate (the reference's
+    // `outputs += values` requires T_q == T_v)
+    assertThrows[IllegalArgumentException] {
+      Attention.exactAttention(q.take(2), k, v, identityDense(1))
+    }
   }
 
   test("char-LSTM repr takes FINAL states, not per-step outputs") {
