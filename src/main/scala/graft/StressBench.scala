@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hot-bucket stress at realistic degenerate scale (BASELINE.md
+  * "hot-bucket stress"): the bounded three-branch pairing
+  * (`Dedup.boundedBucketPairs`) is specced at n=3,000 in OpsSpec; this
+  * main drives it at 10^5-10^6 under a CAPPED heap — the regime the
+  * design claims (one template text repeated across a whole shard, so
+  * every band/block/SRP key degenerates into ONE bucket of corpus
+  * size).
+  *
+  * Three cases:
+  *  - `minhash`:  N byte-identical documents through minhashLshPairs —
+  *    every one of the 16 band buckets holds all N members; the chain
+  *    branch must keep pairs <= N*hotChain while covering every id and
+  *    staying connected (consecutive ids paired).
+  *  - `simhash`:  same corpus through simhashPairs (4 rotated blocks,
+  *    all degenerate).
+  *  - `cosine_run`: N random 16-dim embeddings bucketed by a 6-bit SRP
+  *    signature (64 buckets => every bucket is hot at maxBucket=500)
+  *    with a planted run of 301 identical vectors; the run branch must
+  *    recover the COMPLETE C(301,2) exact-copy pair set inside its hot
+  *    bucket, not just the chain.
+  *
+  * Every case asserts its bounds/recall and reports wall seconds, pair
+  * counts, id coverage, and the (buckets, hot_buckets, max_bucket)
+  * Observation. Run with a capped heap to evidence bounded memory:
+  *
+  *   sbt -batch package && /opt/spark/bin/spark-submit \
+  *     --driver-memory 2g --class graft.StressBench \
+  *     target/scala-2.13/neronhtmlspark_2.13-0.1.0.jar
+  *
+  * Output: one JSON line, mirrored to stress_out.json.
+  */
+object StressBench {
+
+  private def jnum(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_STRESS_N", "300000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stress")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val hotChain = 4
+    val template = "the same boilerplate navigation text repeated on " +
+      "every page of the template heavy shard corpus"
+    val docs = spark.range(n).select(col("id").as("doc_id"), lit(template).as("text"))
+
+    // one degenerate-corpus case through a pairs op: persist the small
+    // pair set (<= ~hotChain*N id rows), derive count/coverage/
+    // connectivity from ONE materialization
+    def degenerate(name: String, f: Observation => DataFrame): String = {
+      val obs = Observation(s"stress_$name")
+      val t0 = System.nanoTime()
+      val pairs = f(obs).select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nPairs = pairs.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val coverage = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct().count()
+      // chain connectivity: every consecutive (i, i+1) pair present
+      val consecutive = pairs.filter(col("id_b") === col("id_a") + 1).count()
+      pairs.unpersist()
+      val m = obs.get
+      val maxBucket = m("max_bucket").asInstanceOf[Long]
+      val hotBuckets = m("hot_buckets").asInstanceOf[Long]
+      assert(nPairs <= n.toLong * hotChain,
+        s"$name: pairs $nPairs exceed the N*hotChain bound ${n * hotChain}")
+      assert(coverage == n, s"$name: coverage $coverage != $n ids")
+      assert(consecutive == n - 1,
+        s"$name: chain broken ($consecutive of ${n - 1} consecutive pairs)")
+      assert(hotBuckets >= 1 && maxBucket == n,
+        s"$name: expected one corpus-sized hot bucket, got " +
+          s"hot=$hotBuckets max=$maxBucket")
+      s""""$name":{"sec":${jnum(secs)},"n":$n,"pairs":$nPairs,""" +
+        s""""coverage":$coverage,"buckets":${m("buckets")},""" +
+        s""""hot_buckets":$hotBuckets,"max_bucket":$maxBucket}"""
+    }
+
+    val minhashJson = degenerate("minhash", obs =>
+      graft.ops.Dedup.minhashLshPairs(spark, docs, minJaccard = 0.7,
+        metrics = Some(obs)))
+    val simhashJson = degenerate("simhash", obs =>
+      graft.ops.Dedup.simhashPairs(spark, docs, maxHamming = 3,
+        metrics = Some(obs)))
+
+    // cosine: every SRP bucket hot + a planted exact-copy run of 301
+    // (== maxBucket is NOT required; run recall is complete for runs
+    // <= maxBucket=500)
+    val runSize = 300
+    val dim = 16
+    // deterministic pseudo-random vector of the row's `seed` column;
+    // `seed` is a plain attribute, so referencing it inside the lambda
+    // costs one column read per element (not the HOF re-eval trap,
+    // which is about expensive derived expressions)
+    def vec = expr(
+      s"transform(sequence(1, $dim), d -> " +
+        "cast(pmod(xxhash64(seed * 16 + d), 2000) / 1000.0 - 1.0 as float))")
+    val base = spark.range(n).select(col("id").as("vec_id"), col("id").as("seed"))
+      .select(col("vec_id"), vec.as("embedding"))
+    // ids n..n+runSize-1 carry id 0's exact vector -> a 301-member run
+    val planted = spark.range(runSize)
+      .select((col("id") + n).as("vec_id"), lit(0L).as("seed"))
+      .select(col("vec_id"), vec.as("embedding"))
+    val obs3 = Observation("stress_cosine")
+    val t0 = System.nanoTime()
+    val cos = graft.ops.Dedup.embeddingCosinePairs(spark,
+        base.unionByName(planted), minCosine = 0.999,
+        metrics = Some(obs3))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val nCos = cos.count()
+    val cosSecs = (System.nanoTime() - t0) / 1e9
+    val isRun = (c: org.apache.spark.sql.Column) =>
+      c === 0L || (c >= n && c < n + runSize)
+    val runPairs = cos.filter(isRun(col("id_a")) && isRun(col("id_b"))).count()
+    cos.unpersist()
+    val m3 = obs3.get
+    val expectRun = (runSize + 1).toLong * runSize / 2
+    assert(runPairs == expectRun,
+      s"cosine: run recall $runPairs != complete $expectRun")
+    assert(m3("hot_buckets").asInstanceOf[Long] >= 1L)
+    val cosineJson =
+      s""""cosine_run":{"sec":${jnum(cosSecs)},"n":${n + runSize},""" +
+        s""""pairs":$nCos,"run_pairs":$runPairs,"run_expect":$expectRun,""" +
+        s""""buckets":${m3("buckets")},"hot_buckets":${m3("hot_buckets")},""" +
+        s""""max_bucket":${m3("max_bucket")}}"""
+
+    val heapMax = Runtime.getRuntime.maxMemory()
+    val json = s"""{"metric":"hot_bucket_stress","n":$n,""" +
+      s""""heap_max_bytes":$heapMax,$minhashJson,$simhashJson,$cosineJson}"""
+    println(json)
+    val w = new java.io.PrintWriter("stress_out.json")
+    try w.println(json) finally w.close()
+    spark.stop()
+  }
+}

@@ -80,6 +80,86 @@ class BiLstmGoldenSpec extends AnyFunSuite {
     assert(all == Set(0, 1, 2))
   }
 
+  // ---- attention stack golden (models/attention.py:100-187,
+  // models/html_embeddings.py:47-72): the NumPy generator independently
+  // implements multiHead (no residual), exactAttention (LIVE residual
+  // add), and htmlRepr, with queries/keys built exactly the way the
+  // engine builds them (charLstmRepr(word) ++ doc-constant htmlRepr) so
+  // the equality scores fire for duplicate words in BOTH codebases.
+
+  private lazy val charVocabC: Map[Char, Int] =
+    vocab(root.get("char_vocab")).map { case (k, v) => k.head -> v }
+  private lazy val charEmbG = floats2(root.get("char_emb"))
+  private lazy val clFw =
+    BiLstm.CellWeights(floats2(root.get("cl_fw_kernel")), floats1(root.get("cl_fw_bias")))
+  private lazy val clBw =
+    BiLstm.CellWeights(floats2(root.get("cl_bw_kernel")), floats1(root.get("cl_bw_bias")))
+  private lazy val htmlVocabG = vocab(root.get("html_vocab"))
+  private lazy val htmlEmbG = floats2(root.get("html_emb"))
+
+  private def dense(w: String, b: String) =
+    Attention.Dense(floats2(root.get(w)), floats1(root.get(b)))
+
+  test("golden: html reprs match the NumPy tag-flatten ++ css char mean") {
+    val cases = root.get("html_cases").elements.asScala.toSeq
+    val reprs = floats2(root.get("html_reprs"))
+    cases.zip(reprs).foreach { case (c, er) =>
+      val ctx = c.get(0).asText; val css = c.get(1).asText
+      val r = Attention.htmlRepr(htmlVocabG, htmlEmbG, charVocabC, charEmbG,
+        ctx, css)
+      assert(r.length == er.length, s"($ctx, $css)")
+      r.zip(er).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6f, s"($ctx, $css): $a vs $b")
+      }
+    }
+  }
+
+  test("golden: exactAttention + multiHead match the NumPy stack to 1e-9") {
+    val hr = Attention.htmlRepr(htmlVocabG, htmlEmbG, charVocabC, charEmbG,
+      root.get("att_ctx").asText, root.get("att_css").asText).map(_.toDouble)
+    val seqs = root.get("att_sequences").elements.asScala.toSeq
+    val valsAll = root.get("att_values").elements.asScala.toSeq
+    val eaAll = root.get("att_ea_out").elements.asScala.toSeq
+    val mhAll = root.get("att_mh_out").elements.asScala.toSeq
+    val mh2All = root.get("att_mh2_out").elements.asScala.toSeq
+    val eaWv = dense("ea_wv_w", "ea_wv_b")
+    val wq = dense("mh_wq_w", "mh_wq_b")
+    val wk = dense("mh_wk_w", "mh_wk_b")
+    val wv = dense("mh_wv_w", "mh_wv_b")
+    val heads = root.get("mh_heads").intValue
+    var maxDiff = 0.0
+    def cmp(got: Array[Array[Double]], exp: Array[Array[Double]], what: String): Unit = {
+      assert(got.length == exp.length, what)
+      got.zip(exp).foreach { case (gr, er) =>
+        assert(gr.length == er.length, what)
+        gr.zip(er).foreach { case (a, b) =>
+          maxDiff = math.max(maxDiff, math.abs(a - b))
+        }
+      }
+    }
+    seqs.indices.foreach { si =>
+      val words = strings(seqs(si))
+      val qk: Array[Array[Double]] = words.map(w =>
+        Attention.charLstmRepr(charVocabC, charEmbG, clFw, clBw, w)
+          .map(_.toDouble) ++ hr).toArray
+      val values = doubles2(valsAll(si))
+      val ea = Attention.exactAttention(qk, qk, values, eaWv)
+      cmp(ea, doubles2(eaAll(si)), s"ea seq $si")
+      val mh = Attention.multiHead(ea, ea, ea, wq, None, wv, heads)
+      cmp(mh, doubles2(mhAll(si)), s"mh seq $si")
+      val mh2 = Attention.multiHead(ea, ea, ea, wq, Some(wk), wv, heads)
+      cmp(mh2, doubles2(mh2All(si)), s"mh2 seq $si")
+    }
+    assert(maxDiff < 1e-9, s"max attention divergence $maxDiff")
+    // the fixture discriminates: duplicate words share a qk vector,
+    // distinct words never do (otherwise the equality scores are
+    // vacuously uniform and this test proves nothing)
+    val a1 = Attention.charLstmRepr(charVocabC, charEmbG, clFw, clBw, "alice")
+    val a2 = Attention.charLstmRepr(charVocabC, charEmbG, clFw, clBw, "alice")
+    val b1 = Attention.charLstmRepr(charVocabC, charEmbG, clFw, clBw, "bob")
+    assert(a1.toSeq == a2.toSeq && a1.toSeq != b1.toSeq)
+  }
+
   test("golden: char-LSTM word reprs match the NumPy final-state concat") {
     val cl = BiLstm.CharLstmWeights(
       charVocab = vocab(root.get("char_vocab")).map { case (k, v) => k.head -> v },

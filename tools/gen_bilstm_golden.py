@@ -195,6 +195,126 @@ for si, s in enumerate(sentences):
                  if list(p) != tags[si])
     assert best - runner > 1e-6, (si, best - runner)
 
+# ---------------- attention stack (models/attention.py:100-187,
+# models/html_embeddings.py:47-72) ----------------
+# Independent NumPy mirror of graft.tag.Attention: multiHead (Q/K/V
+# dense projections, feature-axis head split, scale sqrt(headDim),
+# softmax over keys, NO residual — the reference comments those lines
+# out), exactAttention (equality scores, softmax, dense(values)
+# weighted sum PLUS the live residual add of the raw values), and
+# htmlRepr (two ancestor-tag embeddings flattened ++ float32 mean char
+# embedding of the css class). Queries/keys are built the way the
+# engine builds them: charLstmRepr(word) ++ htmlRepr (the html part
+# constant per document), so duplicate words yield exactly-equal
+# vectors and the equality scores fire across implementations.
+
+HTML_DIM = 2
+html_vocab = {"div": 0, "body": 1}
+html_emb = rand(len(html_vocab) + 1, HTML_DIM)
+html_emb[-1] = 0.0  # OOV row
+
+
+def html_repr(ctx, css):
+    dot = ctx.find(".")
+    p1, p2 = (ctx, "") if dot < 0 else (ctx[:dot], ctx[dot + 1:])
+    e1 = html_emb[html_vocab.get(p1, len(html_vocab))]
+    e2 = html_emb[html_vocab.get(p2, len(html_vocab))]
+    cd = char_emb.shape[1]
+    acc = np.zeros(cd, dtype=np.float32)
+    if css:
+        for ch in css:  # sequential float32 adds, like the Scala loop
+            acc = (acc + char_emb[char_vocab.get(ch, len(chars))]
+                   ).astype(np.float32)
+        acc = (acc / np.float32(len(css))).astype(np.float32)
+    return np.concatenate([e1, e2, acc]).astype(np.float32)
+
+
+def dense_apply(w, b, x):
+    """tf.layers.dense on float64 activations with float32 weights."""
+    return x @ w.astype(np.float64) + b.astype(np.float64)
+
+
+def softmax(x):
+    e = np.exp(x - np.max(x))
+    return e / e.sum()
+
+
+def exact_attention(queries, keys, values, wv_w, wv_b):
+    v = [dense_apply(wv_w, wv_b, x) for x in values]
+    out = []
+    for qi, qv in enumerate(queries):
+        scores = softmax(np.array(
+            [1.0 if np.array_equal(qv, kv) else 0.0 for kv in keys]))
+        o = values[qi].copy()
+        for tj, a in enumerate(scores):
+            o = o + a * v[tj]
+        out.append(o)
+    return out
+
+
+def multi_head(queries, keys, values, wq_w, wq_b, wk, wv_w, wv_b, heads):
+    q = [dense_apply(wq_w, wq_b, x) for x in queries]
+    if wk is None:
+        k = [dense_apply(wq_w, wq_b, x) for x in keys]
+    else:
+        k = [dense_apply(wk[0], wk[1], x) for x in keys]
+    v = [dense_apply(wv_w, wv_b, x) for x in values]
+    a_dim, v_dim = wq_b.shape[0], wv_b.shape[0]
+    dq, dv = a_dim // heads, v_dim // heads
+    out = [np.zeros(v_dim) for _ in queries]
+    for h in range(heads):
+        qo, vo = h * dq, h * dv
+        for ti in range(len(queries)):
+            scores = softmax(np.array(
+                [np.dot(q[ti][qo:qo + dq], k[tj][qo:qo + dq])
+                 / np.sqrt(float(dq)) for tj in range(len(keys))]))
+            for tj, a in enumerate(scores):
+                out[ti][vo:vo + dv] += a * v[tj][vo:vo + dv]
+    return out
+
+
+att_sequences = [
+    ["alice", "bob", "alice"],
+    ["corp", "corp", "corp", "lab"],
+    ["a", "zqx", "a", "zqx", "jjjj"],
+]
+ATT_CTX, ATT_CSS = "div.body", "doc"
+att_html = html_repr(ATT_CTX, ATT_CSS).astype(np.float64)
+
+VD = 3  # raw value dim for exact attention
+ea_wv_w, ea_wv_b = rand(VD, VD), rand(VD, scale=0.1)
+# multiHead over the exact-attention outputs, like html_attention chains
+mh_wq_w, mh_wq_b = rand(VD, 4), rand(4, scale=0.1)
+mh_wk_w, mh_wk_b = rand(VD, 4), rand(4, scale=0.1)
+mh_wv_w, mh_wv_b = rand(VD, 4), rand(4, scale=0.1)
+MH_HEADS = 2
+
+att_values = [[list(map(float, rng.uniform(-1, 1, size=VD)))
+               for _ in s] for s in att_sequences]
+att_ea_out, att_mh_out, att_mh2_out = [], [], []
+for si, s in enumerate(att_sequences):
+    qk = [np.concatenate([char_lstm_repr(w).astype(np.float64), att_html])
+          for w in s]
+    vals = [np.array(v) for v in att_values[si]]
+    ea = exact_attention(qk, qk, vals, ea_wv_w, ea_wv_b)
+    mh = multi_head(ea, ea, ea, mh_wq_w, mh_wq_b, None,
+                    mh_wv_w, mh_wv_b, MH_HEADS)   # queries_eq_keys
+    mh2 = multi_head(ea, ea, ea, mh_wq_w, mh_wq_b,
+                     (mh_wk_w, mh_wk_b), mh_wv_w, mh_wv_b, MH_HEADS)
+    att_ea_out.append([list(map(float, o)) for o in ea])
+    att_mh_out.append([list(map(float, o)) for o in mh])
+    att_mh2_out.append([list(map(float, o)) for o in mh2])
+
+# equality really fires (duplicate words) and really discriminates
+assert np.array_equal(
+    np.concatenate([char_lstm_repr("alice").astype(np.float64), att_html]),
+    np.concatenate([char_lstm_repr("alice").astype(np.float64), att_html]))
+assert not np.array_equal(char_lstm_repr("alice"), char_lstm_repr("bob"))
+
+html_cases = [["div.body", "doc"], ["span.td", "z"], ["body", ""],
+              ["div.body", ""]]
+html_reprs = [list(map(float, html_repr(c, s))) for c, s in html_cases]
+
 golden = {
     "seed": SEED,
     "word_vocab": word_vocab,
@@ -214,6 +334,21 @@ golden = {
     "cl_bw_kernel": cl_bw_kernel.tolist(), "cl_bw_bias": cl_bw_bias.tolist(),
     "cl_words": cl_words,
     "cl_reprs": cl_reprs,
+    "html_vocab": html_vocab,
+    "html_emb": html_emb.tolist(),
+    "html_cases": html_cases,
+    "html_reprs": html_reprs,
+    "att_sequences": att_sequences,
+    "att_ctx": ATT_CTX, "att_css": ATT_CSS,
+    "att_values": att_values,
+    "ea_wv_w": ea_wv_w.tolist(), "ea_wv_b": ea_wv_b.tolist(),
+    "mh_wq_w": mh_wq_w.tolist(), "mh_wq_b": mh_wq_b.tolist(),
+    "mh_wk_w": mh_wk_w.tolist(), "mh_wk_b": mh_wk_b.tolist(),
+    "mh_wv_w": mh_wv_w.tolist(), "mh_wv_b": mh_wv_b.tolist(),
+    "mh_heads": MH_HEADS,
+    "att_ea_out": att_ea_out,
+    "att_mh_out": att_mh_out,
+    "att_mh2_out": att_mh2_out,
 }
 out = "src/test/resources/bilstm_golden.json"
 with open(out, "w") as f:
