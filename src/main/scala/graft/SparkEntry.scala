@@ -38,8 +38,13 @@ object SparkEntry {
     */
   private def annUnit(df: DataFrame): DataFrame = {
     // zero-norm guard: an all-zero row divides by 1 (passes through
-    // unscaled) instead of producing NaN components (0/0), which would
-    // poison the planted-twin oracles with unpredictable NaN ranking
+    // unscaled) instead of producing NaN components (0/0), so a
+    // degenerate row can never poison OTHER rows' rankings with NaN
+    // score propagation. (It does NOT make a zero-vector PROBE satisfy
+    // the planted-twin rank-1 oracle — a zero probe ties every
+    // neighbor at 0.0 and the tie-break picks the smallest vec_id; the
+    // driver-generated embeddings tables contain no zero vectors,
+    // verified at all SFs.)
     val nrm = graft.ops.Similarity.normCol(col("embedding"))
     val safe = when(nrm > 0, nrm).otherwise(lit(1.0))
     df.select(col("vec_id"),

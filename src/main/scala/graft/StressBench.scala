@@ -88,12 +88,14 @@ object StressBench {
         s""""hot_buckets":$hotBuckets,"max_bucket":$maxBucket}"""
     }
 
+    // hotChain is passed EXPLICITLY to every op so the N*hotChain bound
+    // asserted above cannot silently decouple from the Dedup defaults
     val minhashJson = degenerate("minhash", obs =>
       graft.ops.Dedup.minhashLshPairs(spark, docs, minJaccard = 0.7,
-        metrics = Some(obs)))
+        hotChain = hotChain, metrics = Some(obs)))
     val simhashJson = degenerate("simhash", obs =>
       graft.ops.Dedup.simhashPairs(spark, docs, maxHamming = 3,
-        metrics = Some(obs)))
+        hotChain = hotChain, metrics = Some(obs)))
 
     // cosine: every SRP bucket hot + a planted exact-copy run of 301
     // (== maxBucket is NOT required; run recall is complete for runs
@@ -117,7 +119,7 @@ object StressBench {
     val t0 = System.nanoTime()
     val cos = graft.ops.Dedup.embeddingCosinePairs(spark,
         base.unionByName(planted), minCosine = 0.999,
-        metrics = Some(obs3))
+        hotChain = hotChain, metrics = Some(obs3))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nCos = cos.count()
     val cosSecs = (System.nanoTime() - t0) / 1e9

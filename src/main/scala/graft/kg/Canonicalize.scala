@@ -42,9 +42,20 @@ object Canonicalize {
     // (kg.Main sets <outDir>/_checkpoints).
     val sc = spark.sparkContext
     if (sc.getConf.getInt("spark.graphx.pregel.checkpointInterval", -1) > 0 &&
-        sc.getCheckpointDir.isEmpty)
+        sc.getCheckpointDir.isEmpty) {
+      // the temp-dir fallback is LOCAL-MODE ONLY: on a cluster a
+      // driver-local path is invisible to executors (each would write
+      // checkpoint parts to its own disk and the driver's listing
+      // would come back empty mid-CC). Fail fast with instructions
+      // rather than half-checkpoint into a broken state.
+      require(sc.isLocal,
+        "spark.graphx.pregel.checkpointInterval is set but no checkpoint " +
+          "dir is: call sc.setCheckpointDir with a SHARED path (kg.Main " +
+          "sets <outDir>/_checkpoints) before running connected components " +
+          "on a cluster")
       sc.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    }
     val edges = pairs
       .select(nameIdUdf(col("name_a")).as("src"), nameIdUdf(col("name_b")).as("dst"))
       .as[(Long, Long)].rdd

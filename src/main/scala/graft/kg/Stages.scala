@@ -25,15 +25,19 @@ final class Stages(spark: SparkSession, base: String) {
   def lineagePath: String = s"$base/_lineage"
 
   def lineage(): DataFrame = {
-    // mergeSchema: a resumed pre-skipped_rows outDir mixes 5- and
-    // 6-column lineage files; plain read samples ONE footer for the
+    // mergeSchema: a resumed pre-upgrade outDir mixes lineage files
+    // with fewer columns; plain read samples ONE footer for the
     // schema, so the column set would be nondeterministic. Old rows
-    // read as null skipped_rows -> 0 (nothing was skipped back then).
+    // read as null skipped_rows -> 0 (nothing was skipped back then)
+    // and null run_seq -> 0 (one implicit first run).
     val raw = spark.read.option("mergeSchema", "true").parquet(lineagePath)
-    if (raw.columns.contains("skipped_rows"))
-      raw.withColumn("skipped_rows",
-        coalesce(col("skipped_rows"), lit(0L)))
-    else raw.withColumn("skipped_rows", lit(0L))
+    val withSkip =
+      if (raw.columns.contains("skipped_rows"))
+        raw.withColumn("skipped_rows", coalesce(col("skipped_rows"), lit(0L)))
+      else raw.withColumn("skipped_rows", lit(0L))
+    if (withSkip.columns.contains("run_seq"))
+      withSkip.withColumn("run_seq", coalesce(col("run_seq"), lit(0L)))
+    else withSkip.withColumn("run_seq", lit(0L))
   }
 
   /** output_rows totals of stages computed by THIS runner — recorded
@@ -44,20 +48,32 @@ final class Stages(spark: SparkSession, base: String) {
   private val computedOutputRows =
     scala.collection.mutable.Map.empty[String, Long]
 
+  // wall-clock based but strictly increasing within this runner, so
+  // two same-millisecond stage writes can't share a run_seq
+  private val lastRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextRunSeq(): Long =
+    lastRunSeq.updateAndGet(prev =>
+      math.max(prev + 1, System.currentTimeMillis()))
+
   /** Total output rows of stage `name` — the lineage-derived stand-in
     * for a fresh `count()` over the stage's parquet (a pipeline of K
     * stages would otherwise pay ~K redundant full-table scans just to
     * record each stage's input_rows; stage N's input IS stage N-1's
     * output, already durably recorded per partition). Resolution:
-    * recorded this run (free) -> summed from the lineage table (the
-    * resume path; one tiny-file read) -> -1 (unknown — e.g. a stage
-    * dir that survived a crash whose lineage write did not; callers
-    * record -1 rather than guessing).
+    * recorded this run (free) -> summed from the LATEST lineage run of
+    * that stage (the resume path; one tiny-file read — the run_seq
+    * filter keeps a stage that executed more than once against the
+    * same outDir, e.g. after its dir was deleted to force a recompute,
+    * from double-counting across appends) -> -1 (unknown — e.g. a
+    * stage dir that survived a crash whose lineage write did not;
+    * callers record -1 rather than guessing).
     */
   def outputRowsOf(name: String): Long =
     computedOutputRows.getOrElseUpdate(name, {
       try {
-        val rows = lineage().filter(col("stage") === name)
+        val mine = lineage().filter(col("stage") === name)
+        val rows = mine
+          .join(mine.agg(max(col("run_seq")).as("run_seq")), Seq("run_seq"))
           .agg(sum(col("output_rows"))).collect()
         if (rows.isEmpty || rows(0).isNullAt(0)) -1L else rows(0).getLong(0)
       } catch {
@@ -96,6 +112,9 @@ final class Stages(spark: SparkSession, base: String) {
         .collect().map(r => (r.getInt(0), r.getLong(1)))
       val rows = if (partRows.isEmpty) Array((-1, 0L)) else partRows
       computedOutputRows(name) = partRows.map(_._2).sum
+      // run_seq marks which append is the CURRENT execution of this
+      // stage; outputRowsOf reads only the max, so a force-recomputed
+      // stage (dir deleted, lineage appended again) never double-counts
       spark.createDataFrame(rows.toIndexedSeq)
         .toDF("partition_id", "output_rows")
         .select(
@@ -104,7 +123,8 @@ final class Stages(spark: SparkSession, base: String) {
           lit(inRows).as("input_rows"),
           lit(skipRows).as("skipped_rows"),
           col("output_rows"),
-          lit(wallMs).as("wall_ms"))
+          lit(wallMs).as("wall_ms"),
+          lit(nextRunSeq()).as("run_seq"))
         .coalesce(1)
         .write.mode("append").parquet(lineagePath)
       out

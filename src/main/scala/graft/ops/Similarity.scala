@@ -153,6 +153,37 @@ object Similarity {
     out
   }
 
+  /** Row count, bounded by `cap`: schedules partitions incrementally
+    * like `Dataset.take` (first 1, then 4x more per round) and stops as
+    * soon as the running total exceeds `cap`, but counts INSIDE the
+    * executors — one Long per partition returns to the driver, never
+    * rows. Each partition's own scan also stops at cap+1, so one
+    * giant partition costs O(cap) reads. Returns the exact count when
+    * it is <= cap, otherwise some value > cap (callers only branch on
+    * the threshold).
+    */
+  private[ops] def boundedCount(df: DataFrame, cap: Long): Long = {
+    val rdd = df.select(lit(1).as("one")).queryExecution.toRdd
+    val sc = df.sparkSession.sparkContext
+    val total = rdd.getNumPartitions
+    var counted = 0L
+    var next = 0
+    var batch = 1
+    while (next < total && counted <= cap) {
+      val upTo = math.min(total, next + batch)
+      val counts = sc.runJob(rdd,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          var c = 0L
+          while (it.hasNext && c <= cap) { it.next(); c += 1 }
+          c
+        }, next until upTo)
+      counted += counts.sum
+      next = upTo
+      batch *= 4
+    }
+    counted
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
     * (spark.ml KMeans, fixed seed, trained once and collected — the
     * centroid table is tiny) partitions the corpus into cells; each
@@ -176,12 +207,14 @@ object Similarity {
     // maxIter full passes over its input, so fitting on the whole
     // corpus would dominate the query at scale. Sizing the sample
     // without a full-corpus count:
-    //  1. a BOUNDED probe — limit(4*maxTrain + 1).count() over a
-    //     constant column: LocalLimit short-circuits each partition at
-    //     the cap and only a SCALAR returns to the driver (a take()
-    //     here would materialize up to 4*maxTrain Row objects on the
-    //     driver — a transient multi-tens-of-MB heap spike for a
-    //     number we only compare against thresholds). If the probe
+    //  1. a BOUNDED probe — boundedCount: take()-style INCREMENTAL
+    //     partition scheduling (1 partition, then 4x more, ...) so a
+    //     huge corpus answers from its first partition or two, but
+    //     counting rows per partition inside the executors and
+    //     returning one SCALAR per partition — neither the full-scan
+    //     all-partitions job of limit(cap).count() (GlobalLimit still
+    //     executes and shuffles every map task) nor take()'s transient
+    //     multi-tens-of-MB driver array of Row objects. If the probe
     //     comes back under its cap, it IS the exact row count: small corpora
     //     train whole (even when skewed into few partitions), mid-size
     //     corpora get a seeded uniform Bernoulli sample of a now-known
@@ -198,8 +231,7 @@ object Similarity {
     val vecs = corpus.select(toVec(col("embedding")).as("features"))
     val probeCap = math.min(4L * math.max(1L, maxTrain),
       (Int.MaxValue - 2).toLong).toInt
-    val probed: Long =
-      vecs.select(lit(1).as("one")).limit(probeCap + 1).count()
+    val probed: Long = boundedCount(vecs, probeCap)
     val trainSrc =
       if (probed <= maxTrain) vecs
       else if (probed <= probeCap)  // probed == exact corpus count

@@ -62,4 +62,23 @@ class StagesLineageSpec extends AnyFunSuite {
     val linC = st2.lineage().filter(col("stage") === "c").collect()
     assert(linC.forall(_.getAs[Long]("input_rows") == 1L))
   }
+
+  test("force-recomputed stage never double-counts across lineage appends") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stages_recompute").toString
+    def deleteRec(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(deleteRec)
+      p.delete()
+    }
+    new Stages(spark, base).stage("t") { Seq(1, 2, 3).toDF("id") }
+    // the natural force-recompute gesture: delete the stage dir, keep
+    // the (append-only) lineage, re-run — lineage now holds TWO row
+    // sets for stage t; only the latest run_seq may count
+    deleteRec(new java.io.File(s"$base/t"))
+    val st2 = new Stages(spark, base)
+    st2.stage("t") { Seq(1, 2, 3, 4, 5).toDF("id") }
+    assert(st2.outputRowsOf("t") == 5L)
+    // a THIRD runner resolves purely from lineage: latest run only
+    assert(new Stages(spark, base).outputRowsOf("t") == 5L)
+  }
 }
