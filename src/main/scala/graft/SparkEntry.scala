@@ -509,6 +509,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal REAL audio decode oracled end-to-end, the audio twin
+    // of mm_decode_real: deterministic 8-bit unsigned PCM mono WAVs
+    // (sample i = (doc_id*31 + i*7) mod 256) framed by the JDK's WAVE
+    // writer, decoded back through javax.sound.sampled — format header
+    // fields and the exact sample sum are closed-form.
+    "mm_audio_real" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .as[(Long, Int)]
+        .map { case (id, len) =>
+          (id, graft.ops.Multimodal.syntheticWav(id, 50 + len % 97, 8000))
+        }.toDF("media_id", "media")
+      graft.ops.Multimodal.decodeAudio(s, media).toDF()
+        .select(col("media_id").as("doc_id"), col("status"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
+          col("frames"), col("sample_sum"))
+        .orderBy("doc_id")
+    }),
+
     // P4-P11 oracled END-TO-END through the real DOM kernel: documents
     // tokens are deterministically varied (initcap / punct / title /
     // email / digit / accent shapes), wrapped in the SynthPages skeleton,
@@ -1291,6 +1313,17 @@ object SparkEntry {
         |CAST(LENGTH(text) % 97 AS BIGINT) AS width,
         |CAST((LENGTH(text) * 7) % 89 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_audio_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 50 + LENGTH(text) % 97 AS n FROM documents)
+        |SELECT doc_id, 'ok' AS status,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(8 AS BIGINT) AS bits,
+        |  CAST(n AS BIGINT) AS frames,
+        |  CAST(list_sum(list_transform(range(0, n), i ->
+        |    (doc_id*31 + i*7) % 256)) AS BIGINT) AS sample_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
     "mm_decode_real" ->
       """WITH d AS (
         |  SELECT doc_id, 3 + doc_id % 13 AS w, 2 + LENGTH(text) % 11 AS h

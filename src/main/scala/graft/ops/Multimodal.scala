@@ -86,6 +86,88 @@ object Multimodal {
       }
   }
 
+  final case class DecodedAudio(
+      media_id: Long, status: String, sample_rate: Int, channels: Int,
+      bits: Int, frames: Long, sample_sum: Long)
+
+  /** Decode one audio blob with the JDK's `javax.sound.sampled` (WAV/
+    * AIFF/AU readers ship with every JRE). Returns the format header
+    * fields plus an exact sum of the 8-bit PCM samples; undecodable
+    * bytes surface as a status='error' row, like [[decodeImageOne]].
+    * Sample summing currently reads 8-bit unsigned PCM (the synthetic
+    * fixture format); other encodings still decode their header fields
+    * and report sample_sum = -1 rather than a wrong number.
+    */
+  def decodeAudioOne(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    val err = DecodedAudio(id, "error", -1, 0, 0, -1L, -1L)
+    if (bytes == null || bytes.length == 0) return err
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val sum: Long =
+          if (fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+              fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) {
+            var s = 0L
+            val buf = new Array[Byte](8192)
+            var n = ais.read(buf)
+            while (n > 0) {
+              var i = 0
+              while (i < n) { s += (buf(i) & 0xff); i += 1 }
+              n = ais.read(buf)
+            }
+            s
+          } else -1L
+        DecodedAudio(id, "ok", fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, frames, sum)
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => err
+    }
+  }
+
+  /** media(media_id BIGINT, media BINARY) -> real audio decode, batched
+    * per partition like [[decodeImage]].
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) => decodeAudioOne(id, bytes) }
+        }
+      }
+  }
+
+  /** Deterministic 8-bit unsigned PCM mono WAV: sample i of clip `seed`
+    * is `(seed*31 + i*7) mod 256`, framed by the JDK's own WAVE writer
+    * (lossless PCM — a decode reads the exact samples back).
+    */
+  def syntheticWav(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0, "samples and rate must be positive")
+    val samples = new Array[Byte](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = ((seed * 31 + i * 7) % 256).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
   /** Deterministic grayscale test image: pixel (x, y) of image `seed`
     * is `(seed*31 + x*7 + y*13) mod 256`, encoded with the JDK's own
     * writer for `format` ("png" or "bmp" — both lossless, so a decode

@@ -48,6 +48,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageOne(4L, null).status == "error")
   }
 
+  /** Closed-form sum of ((seed*31 + 7i) mod 256) over n samples. */
+  private def expectedWavSum(seed: Long, n: Int): Long = {
+    var s = 0L
+    for (i <- 0 until n) s += (seed * 31 + i * 7) % 256
+    s
+  }
+
+  test("WAV roundtrip: header fields + exact 8-bit PCM sample sum") {
+    val bytes = Multimodal.syntheticWav(seed = 11L, nSamples = 123, sampleRate = 8000)
+    val d = Multimodal.decodeAudioOne(5L, bytes)
+    assert(d.status == "ok")
+    assert((d.sample_rate, d.channels, d.bits, d.frames) == ((8000, 1, 8, 123L)))
+    assert(d.sample_sum == expectedWavSum(11L, 123))
+  }
+
+  test("non-8-bit-PCM audio decodes its header but reports sample_sum = -1") {
+    // 16-bit signed PCM: the summing kernel must refuse rather than
+    // produce a wrong number
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](64)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 32L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val d = Multimodal.decodeAudioOne(6L, bos.toByteArray)
+    assert(d.status == "ok")
+    assert((d.bits, d.frames, d.sample_sum) == ((16, 32L, -1L)))
+  }
+
+  test("corrupt and empty audio payloads surface as error rows") {
+    assert(Multimodal.decodeAudioOne(1L, "not audio".getBytes).status == "error")
+    assert(Multimodal.decodeAudioOne(2L, Array.emptyByteArray).status == "error")
+    assert(Multimodal.decodeAudioOne(3L, null).status == "error")
+  }
+
+  test("decodeAudio kernel: mixed good/broken media, one row each") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticWav(1L, 80)),
+      (2L, Multimodal.syntheticWav(2L, 200)),
+      (3L, "garbage".getBytes))
+    val out = Multimodal.decodeAudio(spark, rows.toDF("media_id", "media")
+        .repartition(2), batchSize = 2)
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out.size == 3)
+    assert(out(1L).status == "ok" && out(1L).sample_sum == expectedWavSum(1L, 80))
+    assert(out(2L).status == "ok" && out(2L).frames == 200L)
+    assert(out(3L).status == "error")
+  }
+
   test("decodeImage kernel: mixed good/broken media, one row each") {
     import spark.implicits._
     val rows = Seq(
