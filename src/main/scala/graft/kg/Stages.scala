@@ -55,6 +55,21 @@ final class Stages(spark: SparkSession, base: String) {
     lastRunSeq.updateAndGet(prev =>
       math.max(prev + 1, System.currentTimeMillis()))
 
+  /** The largest run_seq already recorded for `name` (0 when none).
+    * A NEW stage write must exceed this even when the writing JVM's
+    * clock is behind the previous writer's (NTP step-back, a different
+    * driver host against a shared outDir) — "latest run wins" in
+    * [[outputRowsOf]] must follow write order, not wall clocks.
+    */
+  private def maxRunSeqOf(name: String): Long =
+    try {
+      val rows = lineage().filter(col("stage") === name)
+        .agg(max(col("run_seq"))).collect()
+      if (rows.isEmpty || rows(0).isNullAt(0)) 0L else rows(0).getLong(0)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => 0L // no lineage yet
+    }
+
   /** Total output rows of stage `name` — the lineage-derived stand-in
     * for a fresh `count()` over the stage's parquet (a pipeline of K
     * stages would otherwise pay ~K redundant full-table scans just to
@@ -124,7 +139,7 @@ final class Stages(spark: SparkSession, base: String) {
           lit(skipRows).as("skipped_rows"),
           col("output_rows"),
           lit(wallMs).as("wall_ms"),
-          lit(nextRunSeq()).as("run_seq"))
+          lit(math.max(maxRunSeqOf(name) + 1, nextRunSeq())).as("run_seq"))
         .coalesce(1)
         .write.mode("append").parquet(lineagePath)
       out

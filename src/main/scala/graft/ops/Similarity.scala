@@ -170,7 +170,9 @@ object Similarity {
     var next = 0
     var batch = 1
     while (next < total && counted <= cap) {
-      val upTo = math.min(total, next + batch)
+      // Long arithmetic: at ~1e9+ partitions `next + batch` would wrap
+      // Int-negative and spin the loop forever on empty partitions
+      val upTo = math.min(total.toLong, next.toLong + batch).toInt
       val counts = sc.runJob(rdd,
         (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
           var c = 0L
@@ -179,7 +181,7 @@ object Similarity {
         }, next until upTo)
       counted += counts.sum
       next = upTo
-      batch *= 4
+      batch = math.min(batch.toLong * 4, Int.MaxValue.toLong).toInt
     }
     counted
   }

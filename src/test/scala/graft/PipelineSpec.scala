@@ -26,6 +26,17 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Recursive temp-dir cleanup shared by the specs (was copy-pasted
+    * nine times across the kg/io suites). Null-safe on vanished dirs.
+    */
+  def deleteRec(p: java.io.File): Unit = {
+    if (p.isDirectory) {
+      val fs = p.listFiles
+      if (fs != null) fs.foreach(deleteRec)
+    }
+    p.delete()
+  }
 }
 
 /** End-to-end Spark pipeline against the reference corpus: the triples

@@ -104,11 +104,7 @@ class WarcSpec extends AnyFunSuite {
       skipped = Some(acc)).collect()
     assert(ps.map(_.url).toSeq == Seq("https://x.edu/ok"))
     assert(acc.value == 1L, "the dropped record must be counted")
-    def deleteRec(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(deleteRec)
-      p.delete()
-    }
-    deleteRec(dir.toFile)
+    graft.TestSpark.deleteRec(dir.toFile)
   }
 
   test("wetPages: conversion records project extracted text, no html") {
@@ -124,11 +120,7 @@ class WarcSpec extends AnyFunSuite {
     assert(pages.length == 2)
     assert(pages.map(_.text).toSeq == Seq("alpha beta gamma", "delta epsilon"))
     assert(pages.forall(_.html.isEmpty))
-    def deleteRec(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(deleteRec)
-      p.delete()
-    }
-    deleteRec(dir.toFile)
+    graft.TestSpark.deleteRec(dir.toFile)
   }
 
   test("pages: response-only projection, date parsing, gzip; extraction runs") {
@@ -155,10 +147,6 @@ class WarcSpec extends AnyFunSuite {
     val tkns = sents.collect().flatMap(_.tkns).toSeq
     assert(tkns == Seq("alpha", "beta"))
 
-    def deleteRec(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(deleteRec)
-      p.delete()
-    }
-    deleteRec(dir.toFile)
+    graft.TestSpark.deleteRec(dir.toFile)
   }
 }

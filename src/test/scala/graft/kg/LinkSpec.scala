@@ -193,11 +193,7 @@ class LinkSpec extends AnyFunSuite {
     val firstRun = df2.collect().map(_.toString).sorted.toSeq
 
     // delete s2; rerun must recompute s2 from the s1 checkpoint
-    def deleteRec(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(deleteRec)
-      p.delete()
-    }
-    deleteRec(new java.io.File(s"$dir/s2"))
+    graft.TestSpark.deleteRec(new java.io.File(s"$dir/s2"))
     val stagesB = new Stages(spark, dir)
     var s1Recomputed = false
     val df1b = stagesB.stage("s1") { s1Recomputed = true; Seq.empty[(Int, String)].toDF("id", "v") }
@@ -210,6 +206,6 @@ class LinkSpec extends AnyFunSuite {
     // lineage recorded per stage
     val lin = stagesB.lineage()
     assert(lin.select("stage").distinct().count() == 2)
-    deleteRec(new java.io.File(dir))
+    graft.TestSpark.deleteRec(new java.io.File(dir))
   }
 }

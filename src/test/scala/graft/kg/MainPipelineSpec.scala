@@ -36,11 +36,7 @@ class MainPipelineSpec extends AnyFunSuite {
       .select(max(col("input_rows"))).head().getLong(0)
     assert(sentIn == nDocs, s"lineage input_rows $sentIn != $nDocs")
 
-    def deleteRec(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(deleteRec)
-      p.delete()
-    }
-    deleteRec(new java.io.File(dir))
+    graft.TestSpark.deleteRec(new java.io.File(dir))
   }
 
   test("oversized-page skips are counted in the sentences lineage row") {
@@ -65,11 +61,7 @@ class MainPipelineSpec extends AnyFunSuite {
     assert(skipped == 1L, s"lineage skipped_rows $skipped != 1")
     assert(skipAcc.value == 1L)
 
-    def deleteRec(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(deleteRec)
-      p.delete()
-    }
-    deleteRec(new java.io.File(dir))
+    graft.TestSpark.deleteRec(new java.io.File(dir))
   }
 
   test("WARC files drive the full pipeline: crawl format -> edges") {
@@ -98,12 +90,8 @@ class MainPipelineSpec extends AnyFunSuite {
     assert(mentions.forall(_.getAs[String]("obj") == "zzjohn zzdoe"))
     assert(mentions.map(_.getAs[String]("url")).distinct.length == 6)
 
-    def deleteRec(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(deleteRec)
-      p.delete()
-    }
-    deleteRec(wdir.toFile)
-    deleteRec(new java.io.File(out))
+    graft.TestSpark.deleteRec(wdir.toFile)
+    graft.TestSpark.deleteRec(new java.io.File(out))
   }
 
   test("bilstm:<weights> tagger drives the full pipeline end-to-end") {
@@ -140,11 +128,7 @@ class MainPipelineSpec extends AnyFunSuite {
     assert(mentionEdges.forall(_.getAs[String]("obj") == "zzjohn zzdoe"),
       "the decoded span must be the planted name")
 
-    def deleteRec(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(deleteRec)
-      p.delete()
-    }
-    deleteRec(new java.io.File(dir))
-    deleteRec(new java.io.File(wdir))
+    graft.TestSpark.deleteRec(new java.io.File(dir))
+    graft.TestSpark.deleteRec(new java.io.File(wdir))
   }
 }

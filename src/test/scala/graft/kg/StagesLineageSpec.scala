@@ -66,15 +66,11 @@ class StagesLineageSpec extends AnyFunSuite {
   test("force-recomputed stage never double-counts across lineage appends") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("stages_recompute").toString
-    def deleteRec(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(deleteRec)
-      p.delete()
-    }
     new Stages(spark, base).stage("t") { Seq(1, 2, 3).toDF("id") }
     // the natural force-recompute gesture: delete the stage dir, keep
     // the (append-only) lineage, re-run — lineage now holds TWO row
     // sets for stage t; only the latest run_seq may count
-    deleteRec(new java.io.File(s"$base/t"))
+    graft.TestSpark.deleteRec(new java.io.File(s"$base/t"))
     val st2 = new Stages(spark, base)
     st2.stage("t") { Seq(1, 2, 3, 4, 5).toDF("id") }
     assert(st2.outputRowsOf("t") == 5L)
