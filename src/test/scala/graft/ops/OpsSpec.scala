@@ -422,4 +422,20 @@ class OpsSpec extends AnyFunSuite {
       .map(graft.functions.Fnv1a64.hashString)
     assert(got == want)
   }
+
+  test("boundedCount: exact at/under cap, over-cap detection, empty input") {
+    // skewed partition sizes on purpose (repartition by a constant-ish
+    // key would degenerate; range + repartition(7) gives uneven splits)
+    val df = spark.range(0, 1000).toDF("vec_id").repartition(7)
+    assert(Similarity.boundedCount(df, 2000) == 1000L) // under cap: exact
+    assert(Similarity.boundedCount(df, 1000) == 1000L) // == cap: exact
+    val over = Similarity.boundedCount(df, 10)
+    assert(over > 10L, s"over-cap probe must exceed the cap, got $over")
+    val empty = spark.range(0, 0).toDF("vec_id").repartition(3)
+    assert(Similarity.boundedCount(empty, 5) == 0L)
+    // single giant partition: per-partition scan stops at cap+1
+    val one = spark.range(0, 100000).toDF("vec_id").coalesce(1)
+    val g = Similarity.boundedCount(one, 50)
+    assert(g > 50L && g <= 52L, s"partition scan must stop at cap+1, got $g")
+  }
 }
