@@ -312,6 +312,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup CLUSTERING oracled end-to-end (pairs -> GraphX connected
+    // components -> min-id keeper election): every document is planted
+    // with TWO exact copies (offsets 2^40 and 2^41) and the candidate
+    // pairs are filtered to the CHAIN (a, a+2^40) — which for the
+    // second copy means (id+2^40, id+2^41), so each cluster reaches CC
+    // as a 3-node PATH and only transitive closure can merge it. The
+    // keeper assignment (id, id) / (id+2^40, id) / (id+2^41, id) is
+    // closed-form. Offset filtering exists because natural near-dup
+    // band survival isn't SQL-expressible (same reason as
+    // dedup_minhash_lsh); the operator itself is generic.
+    "doc_dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val p1 = d.select((col("doc_id") + lit(1099511627776L)).as("doc_id"),
+        col("text"))
+      val p2 = d.select((col("doc_id") + lit(2199023255552L)).as("doc_id"),
+        col("text"))
+      val pairs = graft.ops.Dedup.minhashLshPairs(s,
+          d.unionByName(p1).unionByName(p2), minJaccard = 0.7)
+        .filter(col("id_b") === col("id_a") + lit(1099511627776L))
+      graft.ops.Dedup.connectedKeepers(s, pairs)
+        .orderBy("doc_id")
+    }),
+
     // Dedup: word-TRIGRAM Jaccard on consecutive-doc pairs (the n-gram
     // variant of the verify metric; oracle-checked against DuckDB's
     // list functions).
@@ -1215,6 +1238,16 @@ object SparkEntry {
         |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
         |text AS text_rebuilt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_dedup_clusters" ->
+      """SELECT doc_id, keeper FROM (
+        |  SELECT doc_id, doc_id AS keeper FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776 AS doc_id, doc_id AS keeper
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552 AS doc_id, doc_id AS keeper
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |ROUND(CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(a.text,' ')), LIST_DISTINCT(STRING_SPLIT(b.text,' ')))) AS DOUBLE)

@@ -305,6 +305,49 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  // --- near-dup clustering (pairs -> components -> keepers) --------------
+
+  /** Collapse near-duplicate PAIRS into clusters and elect one keeper
+    * per cluster — the step that turns any of the pair generators above
+    * into an actual corpus dedup ("keep one doc per duplicate group").
+    *
+    * GraphX connected components over the (id_a, id_b) edges (pair
+    * transitivity: A~B and B~C dedup to one group even when the A~C
+    * pair was never emitted — exactly why the hot-bucket chain pairing
+    * only needs CONNECTIVITY, not all pairs); keeper = min doc id per
+    * component, the same election as [[exact]]. Inherits the Pregel
+    * checkpointing conf (see graft.kg.Canonicalize). Only ids ever
+    * enter the graph — 16 bytes per edge regardless of document size.
+    *
+    * @return (doc_id, keeper) for every id that appears in a pair;
+    *         docs with no near-dup pair are their own keeper and are
+    *         not emitted (left-join the corpus and coalesce for the
+    *         full assignment — that keeps this output proportional to
+    *         the DUPLICATED subset, a vanishing fraction at scale).
+    */
+  def connectedKeepers(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    if (sc.getConf.getInt("spark.graphx.pregel.checkpointInterval", -1) > 0 &&
+        sc.getCheckpointDir.isEmpty) {
+      require(sc.isLocal,
+        "spark.graphx.pregel.checkpointInterval is set but no checkpoint " +
+          "dir is: set a SHARED checkpoint dir before clustering on a cluster")
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
+    }
+    val edges = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd
+      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    // GraphX CC labels each vertex with the smallest vertex id in its
+    // component — which IS the min-doc-id keeper election
+    val cc = org.apache.spark.graphx.Graph.fromEdges(edges, defaultValue = ())
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+      .connectedComponents()
+    cc.vertices.toDF("doc_id", "keeper")
+  }
+
   // --- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over word hashes (deterministic). */

@@ -423,6 +423,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connectedKeepers: transitive merge, min-id election, isolated pairs") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (no 1-3 pair — only transitive closure merges it),
+    // an isolated pair 10-11, and order-reversed edge 21-20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedKeepers(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("boundedCount: exact at/under cap, over-cap detection, empty input") {
     // skewed partition sizes on purpose (repartition by a constant-ish
     // key would degenerate; range + repartition(7) gives uneven splits)
