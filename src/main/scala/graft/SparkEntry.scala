@@ -474,6 +474,22 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Corpus-scale self k-NN join oracled: EVERY vector is a probe
+    // (nothing broadcast — the shuffle-join-on-cell shape semantic
+    // dedup uses at 100 TB), over the planted-twin corpus where each
+    // vector's rank-1 cosine neighbor is deterministically its exact
+    // copy — so the WHOLE output (both directions of every twin pair)
+    // is closed-form.
+    "ann_self_top1" -> ((s, dir) => {
+      val e = annUnit(t(s, dir, "embeddings").select("vec_id", "embedding"))
+      val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
+        col("embedding"))
+      graft.ops.Similarity.ivfSelfTopK(s, e.unionByName(planted), k = 1,
+          nlist = 8, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy("query_id")
+    }),
+
     // Dedup: embedding-cosine near-dup pairs via SRP-LSH buckets.
     // Planted exact copies (shifted ids) make the check oracled, not
     // vacuous: identical vectors always share an SRP bucket and sort
@@ -1338,6 +1354,14 @@ object SparkEntry {
     "ann_lsh_plant_top1" ->
       """SELECT vec_id + 1099511627776 AS query_id, vec_id AS neighbor_id
         |FROM embeddings ORDER BY query_id""".stripMargin,
+    "ann_self_top1" ->
+      """SELECT query_id, neighbor_id FROM (
+        |  SELECT vec_id AS query_id,
+        |    vec_id + 1099511627776 AS neighbor_id FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1099511627776 AS query_id,
+        |    vec_id AS neighbor_id FROM embeddings)
+        |ORDER BY query_id""".stripMargin,
     "ann_ivf_plant_top1" ->
       """SELECT vec_id + 1099511627776 AS query_id, vec_id AS neighbor_id
         |FROM embeddings ORDER BY query_id""".stripMargin,

@@ -195,11 +195,13 @@ object Similarity {
     * verification join is bounded by cell sizes instead of going
     * quadratic.
     */
-  def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
-      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      maxTrain: Long = 200000L): DataFrame = {
-    import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
+  /** Fit the IVF coarse quantizer (spark.ml KMeans, fixed seed) on a
+    * bounded sample of the corpus and broadcast its centroids — shared
+    * by [[ivfTopK]] and [[ivfSelfTopK]].
+    */
+  private def fitQuantizer(spark: SparkSession, corpus: DataFrame,
+      nlist: Int, seed: Long, maxTrain: Long)
+      : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] = {
     val toVec = udf((v: Seq[Float]) =>
       org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble).toArray))
     val kmeans = new org.apache.spark.ml.clustering.KMeans()
@@ -251,48 +253,88 @@ object Similarity {
       }
     val model = kmeans.fit(trainSrc)
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    val bc = spark.sparkContext.broadcast(centroids)
+    spark.sparkContext.broadcast(centroids)
+  }
 
-    // argmin ||v - c||^2 = argmax (v.c - |c|^2/2); primitive loops and
-    // primitive partial selection — this runs once per corpus vector,
-    // so no boxing/sorting allocations
-    def nearestCells(v: Seq[Float], n: Int): Array[Int] = {
-      val cs = bc.value
-      val scores = new Array[Double](cs.length)
-      var ci = 0
-      while (ci < cs.length) {
-        val c = cs(ci)
-        var dot = 0.0; var nrm = 0.0; var d = 0
-        while (d < c.length) {
-          dot += v(d) * c(d); nrm += c(d) * c(d); d += 1
-        }
-        scores(ci) = dot - nrm / 2
-        ci += 1
+  /** argmin ||v - c||^2 = argmax (v.c - |c|^2/2); primitive loops and
+    * primitive partial selection — this runs once per corpus vector,
+    * so no boxing/sorting allocations.
+    */
+  private[ops] def nearestCells(cs: Array[Array[Double]], v: Seq[Float],
+      n: Int): Array[Int] = {
+    val scores = new Array[Double](cs.length)
+    var ci = 0
+    while (ci < cs.length) {
+      val c = cs(ci)
+      var dot = 0.0; var nrm = 0.0; var d = 0
+      while (d < c.length) {
+        dot += v(d) * c(d); nrm += c(d) * c(d); d += 1
       }
-      val k = math.min(n, cs.length)
-      val out = new Array[Int](k)
-      val taken = new Array[Boolean](cs.length)
-      var o = 0
-      while (o < k) {
-        var best = -1
-        var bestScore = Double.NegativeInfinity
-        var i = 0
-        while (i < scores.length) {
-          if (!taken(i) && scores(i) > bestScore) { best = i; bestScore = scores(i) }
-          i += 1
-        }
-        taken(best) = true
-        out(o) = best
-        o += 1
-      }
-      out
+      scores(ci) = dot - nrm / 2
+      ci += 1
     }
-    val cellUdf = udf((v: Seq[Float]) => nearestCells(v, 1).head)
-    val cellsUdf = udf((v: Seq[Float]) => nearestCells(v, nprobe))
+    val k = math.min(n, cs.length)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](cs.length)
+    var o = 0
+    while (o < k) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < scores.length) {
+        if (!taken(i) && scores(i) > bestScore) { best = i; bestScore = scores(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(o) = best
+      o += 1
+    }
+    out
+  }
+
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
+      k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+      maxTrain: Long = 200000L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bc = fitQuantizer(spark, corpus, nlist, seed, maxTrain)
+    val cellUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, 1).head)
+    val cellsUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, nprobe))
 
     val cb = corpus.withColumn("cell", cellUdf(col("embedding")))
     val pb = probes.withColumn("cell", explode(cellsUdf(col("embedding"))))
     val joined = cb.as("c").join(broadcast(pb.as("p")),
+        col("c.cell") === col("p.cell") &&
+        col("c.vec_id") =!= col("p.vec_id"))
+      .select(
+        col("p.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        dotCol(col("p.embedding"), col("c.embedding")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Corpus-scale self k-NN join over the IVF cells: EVERY vector is a
+    * probe, so nothing is broadcast — both sides shuffle on the cell
+    * id (a shuffled hash / sort-merge join bounded by cell sizes).
+    * This is the 100 TB semantic-dedup / retrieval-pair-mining shape:
+    * the per-cell cost is O(nprobe * |cell|^2) and `nlist` controls
+    * the quadratic term exactly like any IVF search; AQE's skew-join
+    * split handles an oversized cell at runtime. A corpus vector lives
+    * in exactly ONE cell, so a (query, neighbor) pair meets at most
+    * once even with nprobe > 1 — no dedup pass needed before ranking.
+    */
+  def ivfSelfTopK(spark: SparkSession, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+      maxTrain: Long = 200000L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bc = fitQuantizer(spark, corpus, nlist, seed, maxTrain)
+    val cellUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, 1).head)
+    val cellsUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, nprobe))
+
+    val cb = corpus.withColumn("cell", cellUdf(col("embedding")))
+    val pb = corpus.withColumn("cell", explode(cellsUdf(col("embedding"))))
+    val joined = cb.as("c").join(pb.as("p"), // shuffle join — no broadcast
         col("c.cell") === col("p.cell") &&
         col("c.vec_id") =!= col("p.vec_id"))
       .select(

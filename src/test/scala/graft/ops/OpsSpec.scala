@@ -112,6 +112,28 @@ class OpsSpec extends AnyFunSuite {
       f"sampled-quantizer recall $recallSampled%.3f at/below chance")
   }
 
+  test("ivf self k-NN join matches probes-as-corpus ivfTopK, decent recall") {
+    val e = embeddings.select("vec_id", "embedding")
+    // the self join with every vector as probe must equal ivfTopK with
+    // the corpus passed as the probe set (same quantizer seed, same
+    // ranking) — the only difference is the join strategy (shuffle vs
+    // broadcast), which may not change results
+    val self = Similarity.ivfSelfTopK(spark, e, k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaProbes = Similarity.ivfTopK(spark, e, e, k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(self == viaProbes)
+    val brute = Similarity.bruteForceTopK(e, e, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = self.map(t => (t._1, t._2)).intersect(brute).size.toDouble /
+      brute.size
+    info(f"self k-NN recall@5 (ivf 8 cells, 3 probes): $recall%.3f")
+    assert(recall > 0.5, f"recall $recall%.3f no better than chance")
+  }
+
   test("ivf stratified fit (corpus beyond the probe cap) covers planted clusters") {
     import spark.implicits._
     // 2000 vectors in 8 well-separated clusters, cluster cycling with
