@@ -321,7 +321,13 @@ object SparkEntry {
     // keeper assignment (id, id) / (id+2^40, id) / (id+2^41, id) is
     // closed-form. Offset filtering exists because natural near-dup
     // band survival isn't SQL-expressible (same reason as
-    // dedup_minhash_lsh); the operator itself is generic.
+    // dedup_minhash_lsh). Corpus assumption the closed form relies on
+    // (true of the driver tables, asserted by doc_fingerprint's
+    // distinct-text invariant): source texts are UNIQUE — a text with
+    // >= maxBucket/3 byte-identical source copies would push its
+    // tripled run past the run-pairing bound, and chain pairing alone
+    // would drop some (id, id+2^40) pairs. The operator itself is
+    // generic.
     "doc_dedup_clusters" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
       val p1 = d.select((col("doc_id") + lit(1099511627776L)).as("doc_id"),

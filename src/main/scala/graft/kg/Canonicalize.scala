@@ -33,29 +33,11 @@ object Canonicalize {
     */
   def components(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import spark.implicits._
-    // Pregel honors spark.graphx.pregel.checkpointInterval (set in
-    // kg.Main and the test session): every N iterations the graph RDDs
-    // checkpoint, truncating the otherwise maxIter-deep lineage — on a
-    // billion-edge graph an executor loss late in CC would replay
-    // every prior iteration. Checkpointing needs a directory; provide
-    // a local temp one when the caller hasn't set a durable one
-    // (kg.Main sets <outDir>/_checkpoints).
-    val sc = spark.sparkContext
-    if (sc.getConf.getInt("spark.graphx.pregel.checkpointInterval", -1) > 0 &&
-        sc.getCheckpointDir.isEmpty) {
-      // the temp-dir fallback is LOCAL-MODE ONLY: on a cluster a
-      // driver-local path is invisible to executors (each would write
-      // checkpoint parts to its own disk and the driver's listing
-      // would come back empty mid-CC). Fail fast with instructions
-      // rather than half-checkpoint into a broken state.
-      require(sc.isLocal,
-        "spark.graphx.pregel.checkpointInterval is set but no checkpoint " +
-          "dir is: call sc.setCheckpointDir with a SHARED path (kg.Main " +
-          "sets <outDir>/_checkpoints) before running connected components " +
-          "on a cluster")
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
-    }
+    // CC iterations checkpoint under spark.graphx.pregel
+    // .checkpointInterval (set in kg.Main and the test session) — see
+    // graft.spark.GraphCheckpoint for the policy and its local-only
+    // temp-dir fallback.
+    graft.spark.GraphCheckpoint.ensureDir(spark.sparkContext)
     val edges = pairs
       .select(nameIdUdf(col("name_a")).as("src"), nameIdUdf(col("name_b")).as("dst"))
       .as[(Long, Long)].rdd

@@ -319,23 +319,30 @@ object Dedup {
     * checkpointing conf (see graft.kg.Canonicalize). Only ids ever
     * enter the graph — 16 bytes per edge regardless of document size.
     *
+    * `maxIter` bounds the Pregel supersteps (CC converges in
+    * O(component diameter) rounds, and the hot-bucket CHAIN pairing
+    * deliberately produces path-shaped components whose diameter grows
+    * with the bucket — an unbounded CC over a 10^6-member chain would
+    * run ~10^5 supersteps, each a Spark job). The bound trades
+    * completeness on pathologically long chains for a guaranteed
+    * finish, exactly like `kg.Canonicalize.components`; a chain still
+    * unconverged at maxIter splits into several keepers, never into a
+    * wrong merge.
+    *
+    * NOTE: GraphX runs its own actions, so calling this EXECUTES the
+    * upstream pair pipeline immediately (same as `kg_canonicalize`) —
+    * it is not a lazily-composable DataFrame transform.
+    *
     * @return (doc_id, keeper) for every id that appears in a pair;
     *         docs with no near-dup pair are their own keeper and are
     *         not emitted (left-join the corpus and coalesce for the
     *         full assignment — that keeps this output proportional to
     *         the DUPLICATED subset, a vanishing fraction at scale).
     */
-  def connectedKeepers(spark: SparkSession, pairs: DataFrame): DataFrame = {
+  def connectedKeepers(spark: SparkSession, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
     import spark.implicits._
-    val sc = spark.sparkContext
-    if (sc.getConf.getInt("spark.graphx.pregel.checkpointInterval", -1) > 0 &&
-        sc.getCheckpointDir.isEmpty) {
-      require(sc.isLocal,
-        "spark.graphx.pregel.checkpointInterval is set but no checkpoint " +
-          "dir is: set a SHARED checkpoint dir before clustering on a cluster")
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
-    }
+    graft.spark.GraphCheckpoint.ensureDir(spark.sparkContext)
     val edges = pairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .as[(Long, Long)].rdd
@@ -344,7 +351,7 @@ object Dedup {
     // component — which IS the min-doc-id keeper election
     val cc = org.apache.spark.graphx.Graph.fromEdges(edges, defaultValue = ())
       .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
-      .connectedComponents()
+      .connectedComponents(maxIter)
     cc.vertices.toDF("doc_id", "keeper")
   }
 

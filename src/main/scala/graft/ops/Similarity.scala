@@ -186,15 +186,6 @@ object Similarity {
     counted
   }
 
-  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
-    * (spark.ml KMeans, fixed seed, trained once and collected — the
-    * centroid table is tiny) partitions the corpus into cells; each
-    * probe searches only its `nprobe` nearest cells. This is the
-    * standard billion-vector scale path: the corpus is scanned once to
-    * assign cells (narrow), the probe side is broadcast, and the
-    * verification join is bounded by cell sizes instead of going
-    * quadratic.
-    */
   /** Fit the IVF coarse quantizer (spark.ml KMeans, fixed seed) on a
     * bounded sample of the corpus and broadcast its centroids — shared
     * by [[ivfTopK]] and [[ivfSelfTopK]].
@@ -292,27 +283,19 @@ object Similarity {
     out
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
+    * (spark.ml KMeans, fixed seed, trained once and collected — the
+    * centroid table is tiny) partitions the corpus into cells; each
+    * probe searches only its `nprobe` nearest cells. This is the
+    * standard billion-vector scale path: the corpus is scanned once to
+    * assign cells (narrow), the probe side is broadcast, and the
+    * verification join is bounded by cell sizes instead of going
+    * quadratic.
+    */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      maxTrain: Long = 200000L): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val bc = fitQuantizer(spark, corpus, nlist, seed, maxTrain)
-    val cellUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, 1).head)
-    val cellsUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, nprobe))
-
-    val cb = corpus.withColumn("cell", cellUdf(col("embedding")))
-    val pb = probes.withColumn("cell", explode(cellsUdf(col("embedding"))))
-    val joined = cb.as("c").join(broadcast(pb.as("p")),
-        col("c.cell") === col("p.cell") &&
-        col("c.vec_id") =!= col("p.vec_id"))
-      .select(
-        col("p.vec_id").as("query_id"),
-        col("c.vec_id").as("neighbor_id"),
-        dotCol(col("p.embedding"), col("c.embedding")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-  }
+      maxTrain: Long = 200000L): DataFrame =
+    ivfCellTopK(spark, corpus, Some(probes), k, nlist, nprobe, seed, maxTrain)
 
   /** Corpus-scale self k-NN join over the IVF cells: EVERY vector is a
     * probe, so nothing is broadcast — both sides shuffle on the cell
@@ -326,15 +309,28 @@ object Similarity {
     */
   def ivfSelfTopK(spark: SparkSession, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      maxTrain: Long = 200000L): DataFrame = {
+      maxTrain: Long = 200000L): DataFrame =
+    ivfCellTopK(spark, corpus, None, k, nlist, nprobe, seed, maxTrain)
+
+  /** Shared IVF search core: probes broadcast when given (the bounded-
+    * probe-set path), the corpus probing itself through a shuffle join
+    * when not. One definition of the cell UDFs, the self-exclusion
+    * predicate, the dot score, and the `score desc, neighbor_id asc`
+    * tie order — [[ivfTopK]] and [[ivfSelfTopK]] may not drift apart.
+    */
+  private def ivfCellTopK(spark: SparkSession, corpus: DataFrame,
+      probes: Option[DataFrame], k: Int, nlist: Int, nprobe: Int,
+      seed: Long, maxTrain: Long): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val bc = fitQuantizer(spark, corpus, nlist, seed, maxTrain)
     val cellUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, 1).head)
     val cellsUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, nprobe))
 
     val cb = corpus.withColumn("cell", cellUdf(col("embedding")))
-    val pb = corpus.withColumn("cell", explode(cellsUdf(col("embedding"))))
-    val joined = cb.as("c").join(pb.as("p"), // shuffle join — no broadcast
+    val pbRaw = probes.getOrElse(corpus)
+      .withColumn("cell", explode(cellsUdf(col("embedding")))).as("p")
+    val pb = if (probes.isDefined) broadcast(pbRaw) else pbRaw
+    val joined = cb.as("c").join(pb,
         col("c.cell") === col("p.cell") &&
         col("c.vec_id") =!= col("p.vec_id"))
       .select(
