@@ -356,6 +356,33 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // PII scrubbing oracled end-to-end: planted email/URL tokens at
+    // fixed positions -> the parity-pinned isEmail/isUrl kernels
+    // (kg_predicates proves them == the DuckDB formula replicas)
+    // redact them to placeholder tags; the rebuilt text and redaction
+    // counts are position-derivable. Corpus assumption as documented
+    // at kg_relations_counts: unplanted tokens are lowercase
+    // punctuation-free words, so only the plants fire.
+    "doc_pii_redact" -> ((s, dir) => {
+      val varied = t(s, dir, "documents").select(col("doc_id"),
+        expr("""array_join(transform(split(text, ' '), (t, i) ->
+          CASE WHEN i % 17 = 4 THEN 'x@y.zz'
+               WHEN i % 17 = 9 THEN 'http://ex.aa/p'
+               ELSE t END), ' ')""").as("text"))
+      graft.ops.TextAnalysis.redactPii(s, varied)
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals oracled DIRECTLY on the natural
+    // corpus (no planting needed — dup-word and top-bigram fractions
+    // are pure per-doc statistics DuckDB re-derives with list
+    // functions; both engines run the same exact-integer ratios
+    // through the same IEEE double ops).
+    "doc_repetition" -> ((s, dir) => {
+      graft.ops.TextAnalysis.repetition(s, t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring through the TextAnalysis.quality operator
     // (stopword ratio + mean token span on top of the length stats).
     "doc_quality_ext" -> ((s, dir) => {
@@ -1290,6 +1317,48 @@ object SparkEntry {
         |    / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 6) AS jaccard3
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    "doc_pii_redact" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    UNNEST(STRING_SPLIT(text, ' ')) AS t,
+        |    UNNEST(generate_series(1, LEN(STRING_SPLIT(text, ' ')))) AS i
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN (i-1) % 17 = 4 THEN '<EMAIL>'
+        |         WHEN (i-1) % 17 = 9 THEN '<URL>'
+        |         ELSE t END AS t2,
+        |    CASE WHEN (i-1) % 17 = 4 THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN (i-1) % 17 = 9 THEN 1 ELSE 0 END AS u
+        |  FROM toks)
+        |SELECT doc_id,
+        |  string_agg(t2, ' ' ORDER BY i) AS text_redacted,
+        |  CAST(SUM(e) AS BIGINT) AS n_emails,
+        |  CAST(SUM(u) AS BIGINT) AS n_urls
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0) AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, w, LEN(w) AS n,
+        |    CASE WHEN LEN(w) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(LEN(LIST_DISTINCT(w)) AS DOUBLE) / LEN(w)
+        |    END AS dup_word_frac
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, UNNEST(list_transform(generate_series(1, n - 1),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM base WHERE n >= 2),
+        |m AS (
+        |  SELECT doc_id, MAX(c) AS best FROM (
+        |    SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words, b.dup_word_frac,
+        |  COALESCE(CAST(m.best AS DOUBLE) / (b.n - 1), 0.0) AS top_bigram_frac
+        |FROM base b LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "doc_quality_ext" ->
       """SELECT doc_id,
         |  CAST(LENGTH(text) AS BIGINT) AS len,

@@ -63,6 +63,77 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, text: Column): Column =
     GraftFunctions.fnv1a64(spark, text)
 
+  /** PII scrubbing: replace email / URL tokens with placeholder tags,
+    * counting what was redacted — every web-scale training-data
+    * pipeline scrubs PII before the corpus ships. The predicates are
+    * the PARITY-PINNED reference kernels (`Extractor.isEmail` /
+    * `isUrl`, incl. their prefix quirks — `kg_predicates` proves them
+    * equal to the DuckDB formula replicas, which is what makes this op
+    * oracle-able). URL is tested first: a URL containing '@'
+    * (userinfo/query) must not leak as half an email. A narrow
+    * per-partition kernel — no shuffle, O(doc) state.
+    *
+    * @return (doc_id, text_redacted, n_emails, n_urls)
+    */
+  def redactPii(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        var nEmails = 0
+        var nUrls = 0
+        val toks = text.split(" ").map { t =>
+          if (graft.extract.Extractor.isUrl(t)) { nUrls += 1; "<URL>" }
+          else if (graft.extract.Extractor.isEmail(t)) { nEmails += 1; "<EMAIL>" }
+          else t
+        }
+        (id, toks.mkString(" "), nEmails.toLong, nUrls.toLong)
+      })
+      .toDF("doc_id", "text_redacted", "n_emails", "n_urls")
+  }
+
+  /** Gopher-style repetition signals — the published web-corpus
+    * quality rules that catch boilerplate/spam which length stats
+    * miss: the fraction of word occurrences that are repeats of an
+    * earlier word, and the fraction of bigram occurrences taken by the
+    * single most frequent bigram. Computed per document inside one
+    * narrow kernel (a doc's own statistics need no shuffle at any
+    * corpus size; state is O(doc vocabulary)).
+    *
+    * @return (doc_id, n_words, dup_word_frac, top_bigram_frac) —
+    *         fractions 0.0 for docs too short to have them.
+    */
+  def repetition(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        val n = ws.length
+        val dupFrac =
+          if (n == 0) 0.0
+          else 1.0 - ws.distinct.length.toDouble / n
+        val topBigramFrac =
+          if (n < 2) 0.0
+          else {
+            val counts = new java.util.HashMap[String, Int]()
+            var best = 0
+            var i = 0
+            while (i < n - 1) {
+              val g = ws(i) + " " + ws(i + 1)
+              val c = counts.merge(g, 1, Integer.sum)
+              if (c > best) best = c
+              i += 1
+            }
+            best.toDouble / (n - 1)
+          }
+        (id, n.toLong, dupFrac, topBigramFrac)
+      })
+      .toDF("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
+  }
+
   /** Corpus unigram-LM quality score — the standard LM-based filter of
     * web-scale training-data pipelines: per document, the mean
     * log P(w) of its tokens under the corpus's own unigram model,

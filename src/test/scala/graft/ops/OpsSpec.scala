@@ -445,6 +445,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("redactPii: reference-quirk predicates, URL-before-email, counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello x@y.zz visit http://ex.aa/p now"),
+      // a URL containing '@' must redact as URL, not half an email
+      (2L, "see http://u@ex.aa here"),
+      (3L, "plain words only"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("hello <EMAIL> visit <URL> now", 1L, 1L)))
+    assert(out(2L) == (("see <URL> here", 0L, 1L)))
+    assert(out(3L) == (("plain words only", 0L, 0L)))
+    assert(out(4L) == (("", 0L, 0L)))
+  }
+
+  test("repetition: dup-word and top-bigram fractions, short-doc edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),         // 5 words, 2 distinct; "a b" x2 of 4
+      (2L, "x y z"),             // no repeats
+      (3L, "w"),                 // single word: both fractions 0
+      (4L, "q q q q")).toDF("doc_id", "text") // max repetition
+    val out = TextAnalysis.repetition(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((5L, 1.0 - 2.0 / 5, 2.0 / 4)))
+    assert(out(2L) == ((3L, 0.0, 1.0 / 2))) // all bigrams unique: top = 1/2
+    assert(out(3L) == ((1L, 0.0, 0.0)))
+    assert(out(4L) == ((4L, 1.0 - 1.0 / 4, 1.0)))
+  }
+
   test("connectedKeepers: transitive merge, min-id election, isolated pairs") {
     import spark.implicits._
     // chain 1-2, 2-3 (no 1-3 pair — only transitive closure merges it),
