@@ -383,6 +383,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination oracled DIRECTLY on the natural corpus:
+    // benchmark = every 50th document, per-doc shared-trigram counts
+    // re-derived in DuckDB with the same distinct-gram formulation as
+    // the dedup_ngram_jaccard oracle. No planting — the overlap
+    // statistic is whatever the corpus naturally contains (benchmark
+    // docs at minimum hit their own grams).
+    "doc_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.TextAnalysis.contamination(s, d,
+          d.filter(col("doc_id") % 50 === 0), n = 3)
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring through the TextAnalysis.quality operator
     // (stopword ratio + mean token span on top of the length stats).
     "doc_quality_ext" -> ((s, dir) => {
@@ -1317,6 +1330,22 @@ object SparkEntry {
         |    / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 6) AS jaccard3
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    "doc_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+        |    ELSE LIST_DISTINCT(list_transform(
+        |      generate_series(1, LEN(STRING_SPLIT(text, ' ')) - 2),
+        |      i -> array_to_string((STRING_SPLIT(text, ' '))[i:i+2], ' ')))
+        |    END AS grams
+        |  FROM documents),
+        |b AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g
+        |      WHERE doc_id % 50 = 0),
+        |bl AS (SELECT LIST(gram) AS bset FROM b)
+        |SELECT g.doc_id,
+        |  CAST(LEN(LIST_INTERSECT(g.grams, bl.bset)) AS BIGINT)
+        |    AS n_shared_grams
+        |FROM g CROSS JOIN bl ORDER BY doc_id""".stripMargin,
     "doc_pii_redact" ->
       """WITH toks AS (
         |  SELECT doc_id,

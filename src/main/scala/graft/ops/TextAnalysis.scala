@@ -63,6 +63,37 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, text: Column): Column =
     GraftFunctions.fnv1a64(spark, text)
 
+  /** Benchmark decontamination — the standard eval-set hygiene step of
+    * LLM data pipelines: count, per document, the distinct word
+    * n-grams it shares with a benchmark corpus (a doc with any shared
+    * gram is a contamination candidate). The benchmark gram set is
+    * BOUNDED (eval sets are small by construction), so it broadcasts
+    * and the check is a broadcast semi-join on the exploded doc-gram
+    * stream — no shuffle of the corpus at any scale. Grams come from
+    * [[Dedup.ngramSet]] (distinct per doc, shift-and-zip — the
+    * HOF-re-split trap engineered out), so the count is exactly
+    * |distinct doc grams ∩ benchmark grams|.
+    *
+    * @return (doc_id, n_shared_grams) for EVERY doc (0 when clean —
+    *         a decontamination filter must surface clean docs, not
+    *         drop them).
+    */
+  def contamination(spark: SparkSession, docs: DataFrame,
+      benchmark: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bset = benchmark
+      .select(explode(Dedup.ngramSet(col(textCol), n)).as("gram"))
+      .distinct()
+    val dg = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.ngramSet(col(textCol), n)).as("gram"))
+    val hits = dg.join(broadcast(bset), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+  }
+
   /** PII scrubbing: replace email / URL tokens with placeholder tags,
     * counting what was redacted — every web-scale training-data
     * pipeline scrubs PII before the corpus ships. The predicates are

@@ -445,6 +445,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("contamination: shared-gram counts, clean docs surface as zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),  // shares "quick brown fox"
+      (2L, "totally different words here"),
+      (3L, "ab"),                          // short-text fallback: whole text
+      (4L, "quick brown fox quick brown fox extra")) // distinct grams only
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox runs"), (101L, "ab"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(spark, docs, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: trigrams {the quick brown, quick brown fox, brown fox jumps};
+    // bench has {a quick brown, quick brown fox, brown fox runs} -> 1 hit
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("redactPii: reference-quirk predicates, URL-before-email, counts") {
     import spark.implicits._
     val docs = Seq(
