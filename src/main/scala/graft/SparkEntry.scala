@@ -396,6 +396,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test assignment oracled exactly: the
+    // md5-hex-threshold split is the same pure expression in both
+    // engines (Spark and DuckDB md5 hex agree byte-for-byte — the
+    // doc_dedup_exact oracle already rests on that).
+    "doc_split_assign" -> ((s, dir) => {
+      graft.ops.TextAnalysis.assignSplit(
+          t(s, dir, "documents").select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring through the TextAnalysis.quality operator
     // (stopword ratio + mean token span on top of the length stats).
     "doc_quality_ext" -> ((s, dir) => {
@@ -1330,6 +1340,14 @@ object SparkEntry {
         |    / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))), 6) AS jaccard3
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    "doc_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < 'f0'
+        |       THEN 'train'
+        |       WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < 'f8'
+        |       THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_contamination" ->
       """WITH g AS (
         |  SELECT doc_id,

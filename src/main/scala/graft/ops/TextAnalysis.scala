@@ -63,6 +63,28 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, text: Column): Column =
     GraftFunctions.fnv1a64(spark, text)
 
+  /** Deterministic train/val/test assignment — the sharding primitive
+    * every dataset build ends with. The split key is the md5 of the
+    * salted doc id compared against hex-string thresholds: pure
+    * codegen'd column expressions, reproducible across engines and
+    * runs, independent of row order and partitioning, and re-saltable
+    * for independent re-splits. Thresholds are (name, upper-bound hex
+    * prefix) pairs evaluated in order; the last split takes the rest —
+    * e.g. `("train", "f0"), ("val", "f8")` + default "test" gives a
+    * ~93.75 / 3.125 / 3.125 split (hex space is uniform under md5).
+    * No shuffle: the assignment is a per-row projection.
+    */
+  def assignSplit(docs: DataFrame,
+      thresholds: Seq[(String, String)] = Seq("train" -> "f0", "val" -> "f8"),
+      lastSplit: String = "test",
+      salt: String = "split:", idCol: String = "doc_id"): DataFrame = {
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val split = thresholds.foldRight(lit(lastSplit): Column) {
+      case ((name, upper), rest) => when(key < upper, lit(name)).otherwise(rest)
+    }
+    docs.withColumn("split", split)
+  }
+
   /** Benchmark decontamination — the standard eval-set hygiene step of
     * LLM data pipelines: count, per document, the distinct word
     * n-grams it shares with a benchmark corpus (a doc with any shared

@@ -445,6 +445,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("assignSplit: deterministic, order-independent, salt-sensitive") {
+    import spark.implicits._
+    val docs = spark.range(0, 1000).toDF("doc_id")
+    val a = TextAnalysis.assignSplit(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // deterministic across runs and row orders
+    val b = TextAnalysis.assignSplit(docs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.values.toSet == Set("train", "val", "test"))
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.85 && trainFrac < 0.99, s"train frac $trainFrac")
+    // a different salt re-deals the minority splits
+    val resalted = TextAnalysis.assignSplit(docs, salt = "v2:")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.exists { case (k, v) => resalted(k) != v })
+  }
+
   test("contamination: shared-gram counts, clean docs surface as zero") {
     import spark.implicits._
     val docs = Seq(
