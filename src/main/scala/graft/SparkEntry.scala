@@ -1361,7 +1361,7 @@ object SparkEntry {
         |      WHERE doc_id % 50 = 0),
         |bl AS (SELECT LIST(gram) AS bset FROM b)
         |SELECT g.doc_id,
-        |  CAST(LEN(LIST_INTERSECT(g.grams, bl.bset)) AS BIGINT)
+        |  CAST(COALESCE(LEN(LIST_INTERSECT(g.grams, bl.bset)), 0) AS BIGINT)
         |    AS n_shared_grams
         |FROM g CROSS JOIN bl ORDER BY doc_id""".stripMargin,
     "doc_pii_redact" ->

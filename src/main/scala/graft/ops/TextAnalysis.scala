@@ -6,9 +6,14 @@ import graft.functions.GraftFunctions
 
 /** Text-analysis ops for training-data pipelines: language-ID
   * (marker-word heuristic), quality scoring, token counting (whitespace
-  * + BPE-ish regex), and rolling-hash document fingerprinting. All
-  * codegen'd column expressions (no Scala UDFs) so they stay inside
-  * whole-stage codegen over a 100 TB scan.
+  * + BPE-ish regex), rolling-hash document fingerprinting, unigram-LM
+  * scoring, decontamination, split assignment, PII redaction, and
+  * repetition signals. Everything expressible as column expressions IS
+  * one (codegen'd, no Scala UDFs — stays inside whole-stage codegen
+  * over a 100 TB scan); the two per-token SEQUENCE kernels
+  * ([[redactPii]], [[repetition]]) are narrow `mapPartitions` with
+  * O(doc) state, the same shape as the extraction kernels — no
+  * shuffle, but they do leave codegen for their row.
   */
 object TextAnalysis {
 
@@ -136,7 +141,12 @@ object TextAnalysis {
       .mapPartitions(_.map { case (id, text) =>
         var nEmails = 0
         var nUrls = 0
-        val toks = text.split(" ").map { t =>
+        // null-safe (column ops propagate null; a kernel must not NPE)
+        // and limit -1: Java's default split DROPS trailing empty
+        // tokens, which would silently eat trailing spaces and diverge
+        // from SQL split semantics on both engines
+        val safe = if (text == null) "" else text
+        val toks = safe.split(" ", -1).map { t =>
           if (graft.extract.Extractor.isUrl(t)) { nUrls += 1; "<URL>" }
           else if (graft.extract.Extractor.isEmail(t)) { nEmails += 1; "<EMAIL>" }
           else t
@@ -163,7 +173,9 @@ object TextAnalysis {
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val ws = text.split(" ").filter(_.nonEmpty)
+        val ws =
+          if (text == null) Array.empty[String]
+          else text.split(" ").filter(_.nonEmpty)
         val n = ws.length
         val dupFrac =
           if (n == 0) 0.0

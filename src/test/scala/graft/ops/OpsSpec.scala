@@ -487,7 +487,9 @@ class OpsSpec extends AnyFunSuite {
       // a URL containing '@' must redact as URL, not half an email
       (2L, "see http://u@ex.aa here"),
       (3L, "plain words only"),
-      (4L, "")).toDF("doc_id", "text")
+      (4L, ""),
+      (5L, "a b "), // trailing space must survive (split limit -1)
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(spark, docs)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
@@ -495,6 +497,8 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == (("see <URL> here", 0L, 1L)))
     assert(out(3L) == (("plain words only", 0L, 0L)))
     assert(out(4L) == (("", 0L, 0L)))
+    assert(out(5L) == (("a b ", 0L, 0L)))
+    assert(out(6L) == (("", 0L, 0L))) // null-safe, no NPE
   }
 
   test("repetition: dup-word and top-bigram fractions, short-doc edges") {
@@ -503,7 +507,8 @@ class OpsSpec extends AnyFunSuite {
       (1L, "a b a b a"),         // 5 words, 2 distinct; "a b" x2 of 4
       (2L, "x y z"),             // no repeats
       (3L, "w"),                 // single word: both fractions 0
-      (4L, "q q q q")).toDF("doc_id", "text") // max repetition
+      (4L, "q q q q"), // max repetition
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val out = TextAnalysis.repetition(spark, docs)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
@@ -511,6 +516,7 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == ((3L, 0.0, 1.0 / 2))) // all bigrams unique: top = 1/2
     assert(out(3L) == ((1L, 0.0, 0.0)))
     assert(out(4L) == ((4L, 1.0 - 1.0 / 4, 1.0)))
+    assert(out(5L) == ((0L, 0.0, 0.0))) // null-safe, no NPE
   }
 
   test("connectedKeepers: transitive merge, min-id election, isolated pairs") {
