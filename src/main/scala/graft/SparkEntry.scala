@@ -604,6 +604,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal REAL multi-frame decode oracled end-to-end (the
+    // "video" seam made real for JDK containers): deterministic
+    // multi-page grayscale TIFFs (frame f pixel (x,y) = (doc_id*31 +
+    // f*19 + x*7 + y*13) mod 256) written with the JDK's TIFF sequence
+    // writer, decoded back frame-by-frame through getNumImages/read —
+    // one output row per frame, all columns closed-form.
+    "mm_frames_real" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .as[(Long, Int)]
+        .map { case (id, len) =>
+          val nf = 1 + (id % 4).toInt
+          val w = 3 + (id % 5).toInt
+          val h = 2 + len % 7
+          (id, graft.ops.Multimodal.syntheticTiffFrames(id, w, h, nf))
+        }.toDF("media_id", "media")
+      graft.ops.Multimodal.decodeFrames(s, media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("frame_id").cast("long").as("frame_id"), col("status"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pixel_sum"))
+        .orderBy("doc_id", "frame_id")
+    }),
+
     // Multimodal REAL audio decode oracled end-to-end, the audio twin
     // of mm_decode_real: deterministic 8-bit unsigned PCM mono WAVs
     // (sample i = (doc_id*31 + i*7) mod 256) framed by the JDK's WAVE
@@ -1492,6 +1517,23 @@ object SparkEntry {
         |CAST(LENGTH(text) % 97 AS BIGINT) AS width,
         |CAST((LENGTH(text) * 7) % 89 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 4 AS nf, 3 + doc_id % 5 AS w,
+        |         2 + LENGTH(text) % 7 AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h,
+        |    UNNEST(generate_series(0, nf - 1)) AS frame_id
+        |  FROM d)
+        |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+        |  'ok' AS status,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x ->
+        |      (doc_id*31 + frame_id*19 + x*7 + y*13) % 256))))
+        |    AS BIGINT) AS pixel_sum
+        |FROM f ORDER BY doc_id, frame_id""".stripMargin,
     "mm_audio_real" ->
       """WITH d AS (
         |  SELECT doc_id, 50 + LENGTH(text) % 97 AS n FROM documents)

@@ -86,6 +86,113 @@ object Multimodal {
       }
   }
 
+  final case class DecodedFrame(
+      media_id: Long, frame_id: Int, status: String,
+      width: Int, height: Int, pixel_sum: Long)
+
+  /** REAL multi-frame decode via javax.imageio: one row per frame of a
+    * multi-image container (the JDK's TIFF plugin reads/writes true
+    * multi-page grayscale losslessly; animated GIFs decode through the
+    * same `getNumImages(true)` path). This makes the frame-sampling
+    * seam real for JDK-supported containers; byte-range [[frameSample]]
+    * remains the declared stub for true video codecs, which no JDK
+    * library decodes. Undecodable payloads surface as ONE
+    * status='error' row (frame_id -1).
+    */
+  def decodeFramesOne(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] = {
+    val err = Seq(DecodedFrame(id, -1, "error", -1, -1, 0L))
+    if (bytes == null || bytes.length == 0) return err
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return err
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val n = reader.getNumImages(true)
+          (0 until n).map { f =>
+            val img = reader.read(f)
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                var b = 0
+                while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            DecodedFrame(id, f, "ok", img.getWidth, img.getHeight, sum)
+          }
+        } finally reader.dispose()
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => err
+    }
+  }
+
+  /** media(media_id BIGINT, media BINARY) -> one decoded row per frame,
+    * batched per partition like [[decodeImage]].
+    */
+  def decodeFrames(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) => decodeFramesOne(id, bytes) }
+        }
+      }
+  }
+
+  /** Deterministic multi-page grayscale TIFF "video": frame f pixel
+    * (x, y) of clip `seed` is `(seed*31 + f*19 + x*7 + y*13) mod 256`,
+    * written page-by-page with the JDK's TIFF sequence writer
+    * (TYPE_BYTE_GRAY is true 8-bit grayscale — no palette, so the
+    * decode reads the exact samples back; a GIF animation would pass
+    * through palette quantization and lose them).
+    */
+  def syntheticTiffFrames(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0, "dims and frame count must be positive")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              ((seed * 31 + f * 19 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+
   final case class DecodedAudio(
       media_id: Long, status: String, sample_rate: Int, channels: Int,
       bits: Int, frames: Long, sample_sum: Long)

@@ -48,6 +48,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageOne(4L, null).status == "error")
   }
 
+  /** Closed-form frame sum of ((seed*31 + 19f + 7x + 13y) mod 256). */
+  private def expectedFrameSum(seed: Long, f: Int, w: Int, h: Int): Long = {
+    var s = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      s += (seed * 31 + f * 19 + x * 7 + y * 13) % 256
+    s
+  }
+
+  test("multi-page TIFF roundtrip: one exact row per frame") {
+    val bytes = Multimodal.syntheticTiffFrames(seed = 5L, w = 6, h = 3, nFrames = 4)
+    val frames = Multimodal.decodeFramesOne(9L, bytes)
+    assert(frames.length == 4)
+    frames.zipWithIndex.foreach { case (fr, i) =>
+      assert(fr.status == "ok" && fr.frame_id == i)
+      assert((fr.width, fr.height) == ((6, 3)))
+      assert(fr.pixel_sum == expectedFrameSum(5L, i, 6, 3), s"frame $i")
+    }
+  }
+
+  test("single-frame containers decode as one frame; corrupt as error row") {
+    val png = Multimodal.syntheticImage(7L, 4, 4, "png")
+    val one = Multimodal.decodeFramesOne(1L, png)
+    assert(one.length == 1 && one.head.status == "ok" && one.head.frame_id == 0)
+    val bad = Multimodal.decodeFramesOne(2L, "junk".getBytes)
+    assert(bad == Seq(Multimodal.DecodedFrame(2L, -1, "error", -1, -1, 0L)))
+    assert(Multimodal.decodeFramesOne(3L, null).head.status == "error")
+  }
+
   /** Closed-form sum of ((seed*31 + 7i) mod 256) over n samples. */
   private def expectedWavSum(seed: Long, n: Int): Long = {
     var s = 0L
