@@ -112,22 +112,28 @@ object Multimodal {
         try {
           reader.setInput(in)
           val n = reader.getNumImages(true)
+          // a reader that reports ZERO images is an undecodable payload
+          // too — the error row must surface, not an empty Seq (the
+          // media row would silently vanish from the output)
+          if (n <= 0) return err
           (0 until n).map { f =>
             val img = reader.read(f)
             val raster = img.getRaster
             val bands = raster.getNumBands
+            val w = img.getWidth
+            val h = img.getHeight
             var sum = 0L
             var y = 0
-            while (y < img.getHeight) {
+            while (y < h) {
               var x = 0
-              while (x < img.getWidth) {
+              while (x < w) {
                 var b = 0
                 while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
                 x += 1
               }
               y += 1
             }
-            DecodedFrame(id, f, "ok", img.getWidth, img.getHeight, sum)
+            DecodedFrame(id, f, "ok", w, h, sum)
           }
         } finally reader.dispose()
       } finally in.close()
