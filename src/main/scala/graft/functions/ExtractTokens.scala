@@ -71,6 +71,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.dotF32Descriptor)
     e.injectFunction(GraftExtensions.simhash64Descriptor)
     e.injectFunction(GraftExtensions.minhashSigDescriptor)
+    e.injectFunction(GraftExtensions.srpSigDescriptor)
   }
 }
 
@@ -106,6 +107,13 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
     (exprs: Seq[Expression]) => {
       GraftFunctions.arity("dot_f32", 2)(exprs); DotF32(exprs.head, exprs(1))
+    })
+
+  val srpSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("srp_sig"),
+    new ExpressionInfo(classOf[SrpSig].getName, "srp_sig"),
+    (exprs: Seq[Expression]) => {
+      GraftFunctions.arity("srp_sig", 2)(exprs); SrpSig(exprs.head, exprs(1))
     })
 
   /** Imperative registration for an existing session. */

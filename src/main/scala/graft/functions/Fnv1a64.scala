@@ -70,6 +70,10 @@ object GraftFunctions {
         arity("minhash_sig", 3)(exprs)
         MinhashSig(exprs.head, exprs(1), exprs(2))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "srp_sig", { exprs =>
+        arity("srp_sig", 2)(exprs); SrpSig(exprs.head, exprs(1))
+      }, "built-in")
   }
 
   def fnv1a64(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {

@@ -275,11 +275,13 @@ object Dedup {
   def embeddingCosinePairs(spark: SparkSession, embeddings: DataFrame,
       minCosine: Double, nBits: Int = 6, maxBucket: Int = 500,
       hotChain: Int = 4, metrics: Option[Observation] = None): DataFrame = {
-    import org.apache.spark.sql.functions.udf
-    val sigUdf = udf((v: Seq[Float]) => Similarity.srpSignature(v, nBits))
+    // native codegen srp_sig: the bucketing pass touches every vector
+    // once — no per-row Seq[Float] boxing (same planes/accumulation as
+    // Similarity.srpSignature, so buckets are identical)
+    graft.functions.GraftFunctions.register(spark)
     val b = embeddings.select(col("vec_id").cast("long").as("id"),
         col("embedding"))
-      .withColumn("bucket", sigUdf(col("embedding")))
+      .withColumn("bucket", call_function("srp_sig", col("embedding"), lit(nBits)))
     val candidates = boundedBucketPairs(
       b.select(col("bucket"),
         struct(xxhash64(col("embedding")).as("ekey"), col("id")).as("m")),

@@ -133,6 +133,33 @@ object Similarity {
   def srpSignature(vec: Seq[Float], nBits: Int): Int =
     projectSig(vec.toArray, nBits, null)
 
+  /** SRP signature over Catalyst array data — the entry point of the
+    * native `srp_sig` expression ([[graft.functions.SrpSig]]; callable
+    * from generated code): the SAME memoized hyperplanes and the same
+    * left-to-right float*double accumulation as [[srpSignature]]
+    * (bit-identical sums -> identical signs -> identical buckets), but
+    * reading floats straight out of the unsafe array — no boxed
+    * `Seq[Float]` per row. A null ELEMENT reads as 0.0f here (Catalyst
+    * array accessor semantics) where the UDF path would have thrown;
+    * embeddings with null components are malformed input either way.
+    */
+  def srpSignatureData(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      nBits: Int): Int = {
+    val dim = v.numElements()
+    val pl = planes(nBits, dim)
+    var sig = 0
+    var b = 0
+    while (b < nBits) {
+      val row = pl(b)
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += v.getFloat(d) * row(d); d += 1 }
+      if (s > 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Multi-probe bucket set: the base SRP bucket first, then the
     * buckets reached by flipping each of the `extra` LOWEST-MARGIN
     * bits — the hyperplanes the vector sits closest to, i.e. the bits
@@ -350,11 +377,15 @@ object Similarity {
       k: Int, nBits: Int = 8, multiProbe: Int = 0): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val sigUdf = udf((v: Seq[Float]) => srpSignature(v, nBits))
+    // corpus bucketing through the native codegen srp_sig expression —
+    // the UDF formulation boxed every embedding into a Seq[Float] on
+    // the one pass that touches EVERY corpus vector; multi-probe stays
+    // a UDF (probe-side only, bounded probe sets, returns an array)
+    def sigCol(c: Column) = call_function("srp_sig", c, lit(nBits))
     val probeUdf = udf((v: Seq[Float]) => srpProbeBuckets(v, nBits, multiProbe))
-    val cb = corpus.withColumn("bucket", sigUdf(col("embedding")))
+    val cb = corpus.withColumn("bucket", sigCol(col("embedding")))
     val pb =
-      if (multiProbe <= 0) probes.withColumn("bucket", sigUdf(col("embedding")))
+      if (multiProbe <= 0) probes.withColumn("bucket", sigCol(col("embedding")))
       else probes.withColumn("bucket", explode(probeUdf(col("embedding"))))
     val joined = cb.as("c").join(broadcast(pb.as("p")),
         col("c.bucket") === col("p.bucket") &&

@@ -417,6 +417,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, None)))
   }
 
+  test("native srp_sig expression buckets exactly like the scala function") {
+    import spark.implicits._
+    // a corpus bucketed by the codegen expression and a probe hashed by
+    // the Scala function MUST agree for every vector, or probes land in
+    // the wrong buckets silently
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(62))(rnd.nextFloat() * 2 - 1)))
+    graft.functions.GraftFunctions.register(spark)
+    Seq(0, 1, 4, 6, 12).foreach { nBits =>
+      val native = vecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          call_function("srp_sig", col("embedding"), lit(nBits)).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      vecs.foreach { case (id, v) =>
+        assert(native(id) == Similarity.srpSignature(v, nBits),
+          s"vec $id nBits $nBits")
+      }
+    }
+  }
+
   test("srp signature is scale-invariant; probe set consistent with it") {
     // sign(v.p) is invariant under positive scaling of v — the property
     // the cosine-geometry bucketing relies on. Scales are exact powers
