@@ -72,6 +72,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftExtensions.simhash64Descriptor)
     e.injectFunction(GraftExtensions.minhashSigDescriptor)
     e.injectFunction(GraftExtensions.srpSigDescriptor)
+    e.injectFunction(GraftExtensions.ivfCellDescriptor)
   }
 }
 
@@ -114,6 +115,13 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SrpSig].getName, "srp_sig"),
     (exprs: Seq[Expression]) => {
       GraftFunctions.arity("srp_sig", 2)(exprs); SrpSig(exprs.head, exprs(1))
+    })
+
+  val ivfCellDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ivf_cell"),
+    new ExpressionInfo(classOf[IvfCell].getName, "ivf_cell"),
+    (exprs: Seq[Expression]) => {
+      GraftFunctions.arity("ivf_cell", 2)(exprs); IvfCell(exprs.head, exprs(1))
     })
 
   /** Imperative registration for an existing session. */

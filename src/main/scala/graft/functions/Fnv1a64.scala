@@ -74,6 +74,10 @@ object GraftFunctions {
       "srp_sig", { exprs =>
         arity("srp_sig", 2)(exprs); SrpSig(exprs.head, exprs(1))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ivf_cell", { exprs =>
+        arity("ivf_cell", 2)(exprs); IvfCell(exprs.head, exprs(1))
+      }, "built-in")
   }
 
   def fnv1a64(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {

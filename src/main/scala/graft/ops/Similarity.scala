@@ -319,6 +319,37 @@ object Similarity {
     * verification join is bounded by cell sizes instead of going
     * quadratic.
     */
+  /** Nearest-cell assignment over Catalyst array data — the entry point
+    * of the native `ivf_cell` expression ([[graft.functions.IvfCell]];
+    * callable from generated code). `cs` is the centroid table as a
+    * nested array literal. EXACTLY the same accumulation order,
+    * `dot - |c|^2/2` score, and first-max tie semantics as
+    * [[nearestCells]] with n=1 (a diverging second copy would assign
+    * corpus vectors and probes to different cells), but reading floats
+    * straight from the unsafe arrays — no per-row Seq[Float] boxing on
+    * the pass that touches every corpus vector.
+    */
+  def nearestCellData(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cs: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val nCells = cs.numElements()
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var ci = 0
+    while (ci < nCells) {
+      val c = cs.getArray(ci)
+      val dims = c.numElements()
+      var dot = 0.0; var nrm = 0.0; var d = 0
+      while (d < dims) {
+        val cd = c.getDouble(d)
+        dot += v.getFloat(d) * cd; nrm += cd * cd; d += 1
+      }
+      val score = dot - nrm / 2
+      if (score > bestScore) { best = ci; bestScore = score }
+      ci += 1
+    }
+    best
+  }
+
   def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
       maxTrain: Long = 200000L): DataFrame =
@@ -350,10 +381,17 @@ object Similarity {
       seed: Long, maxTrain: Long): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val bc = fitQuantizer(spark, corpus, nlist, seed, maxTrain)
-    val cellUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, 1).head)
+    // corpus-side cell assignment through the native codegen ivf_cell
+    // expression (centroids ride as a nested-array literal) — the one
+    // pass that touches EVERY corpus vector pays no Seq[Float] boxing;
+    // the probe side keeps the nprobe-cells UDF (bounded probe sets,
+    // array return, and in the self-join case the corpus cells are
+    // already the expression)
+    val centroidsLit = typedlit(bc.value.map(_.toSeq).toSeq)
     val cellsUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, nprobe))
 
-    val cb = corpus.withColumn("cell", cellUdf(col("embedding")))
+    val cb = corpus.withColumn("cell",
+      call_function("ivf_cell", col("embedding"), centroidsLit))
     val pbRaw = probes.getOrElse(corpus)
       .withColumn("cell", explode(cellsUdf(col("embedding")))).as("p")
     val pb = if (probes.isDefined) broadcast(pbRaw) else pbRaw

@@ -438,6 +438,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native ivf_cell expression assigns exactly like nearestCells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val dim = 24
+    val centroids = Array.fill(9, dim)(rnd.nextDouble() * 2 - 1)
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    graft.functions.GraftFunctions.register(spark)
+    val native = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), call_function("ivf_cell", col("embedding"),
+        typedlit(centroids.map(_.toSeq).toSeq)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(native(id) == Similarity.nearestCells(centroids, v, 1).head,
+        s"vec $id")
+    }
+  }
+
   test("srp signature is scale-invariant; probe set consistent with it") {
     // sign(v.p) is invariant under positive scaling of v — the property
     // the cosine-geometry bucketing relies on. Scales are exact powers
