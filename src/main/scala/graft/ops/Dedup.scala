@@ -277,8 +277,13 @@ object Dedup {
       hotChain: Int = 4, metrics: Option[Observation] = None): DataFrame = {
     // native codegen srp_sig: the bucketing pass touches every vector
     // once — no per-row Seq[Float] boxing (same planes/accumulation as
-    // Similarity.srpSignature, so buckets are identical)
+    // Similarity.srpSignature, so buckets are identical). Registered on
+    // the frame's own session too (call_function resolves there in a
+    // multi-session app); a NULL embedding row null-propagates to a
+    // null bucket and drops out of the pair results rather than killing
+    // the job — validate upstream if absence must be loud.
     graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val b = embeddings.select(col("vec_id").cast("long").as("id"),
         col("embedding"))
       .withColumn("bucket", call_function("srp_sig", col("embedding"), lit(nBits)))
@@ -289,7 +294,6 @@ object Dedup {
       .select(least(col("m_a.id"), col("m_b.id")).as("id_a"),
         greatest(col("m_a.id"), col("m_b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    graft.functions.GraftFunctions.register(spark)
     // the verify side never needs the SRP bucket: derive it from the
     // input directly so the scan for the join-back carries no UDF
     val side = embeddings.select(col("vec_id").cast("long").as("id"),

@@ -338,6 +338,13 @@ object Similarity {
     while (ci < nCells) {
       val c = cs.getArray(ci)
       val dims = c.numElements()
+      // unsafe array reads have NO runtime bounds check — a shorter
+      // embedding (mixed-model corpus, truncated row) must fail fast
+      // like the Seq-based path did, not read adjacent rows' bytes and
+      // silently assign a garbage cell
+      if (v.numElements() != dims)
+        throw new IllegalArgumentException(
+          s"ivf_cell: embedding dim ${v.numElements()} != centroid dim $dims")
       var dot = 0.0; var nrm = 0.0; var d = 0
       while (d < dims) {
         val cd = c.getDouble(d)
@@ -379,7 +386,17 @@ object Similarity {
   private def ivfCellTopK(spark: SparkSession, corpus: DataFrame,
       probes: Option[DataFrame], k: Int, nlist: Int, nprobe: Int,
       seed: Long, maxTrain: Long): DataFrame = {
+    // register on the input frames' OWN sessions too: call_function
+    // resolves against the frame's session registry at analysis, which
+    // in a multi-session app may differ from `spark` (the same reason
+    // bruteForceTopK registers on corpus.sparkSession). NULL embedding
+    // rows null-propagate through the native expressions into null
+    // cells/buckets and drop out of results (the dot_f32 family
+    // semantic — one malformed row must not kill a 10^12-row job);
+    // validate embeddings upstream if absence must be loud.
     graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    probes.foreach(p => graft.functions.GraftFunctions.register(p.sparkSession))
     val bc = fitQuantizer(spark, corpus, nlist, seed, maxTrain)
     // corpus-side cell assignment through the native codegen ivf_cell
     // expression (centroids ride as a nested-array literal) — the one
@@ -414,7 +431,10 @@ object Similarity {
   def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       k: Int, nBits: Int = 8, multiProbe: Int = 0): DataFrame = {
     import spark.implicits._
+    // frame-session registration + null-row semantics: see ivfCellTopK
     graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.functions.GraftFunctions.register(probes.sparkSession)
     // corpus bucketing through the native codegen srp_sig expression —
     // the UDF formulation boxed every embedding into a Seq[Float] on
     // the one pass that touches EVERY corpus vector; multi-probe stays
