@@ -374,8 +374,9 @@ object Similarity {
     */
   def ivfSelfTopK(spark: SparkSession, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      maxTrain: Long = 200000L): DataFrame =
-    ivfCellTopK(spark, corpus, None, k, nlist, nprobe, seed, maxTrain)
+      maxTrain: Long = 200000L,
+      metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    ivfCellTopK(spark, corpus, None, k, nlist, nprobe, seed, maxTrain, metrics)
 
   /** Shared IVF search core: probes broadcast when given (the bounded-
     * probe-set path), the corpus probing itself through a shuffle join
@@ -385,7 +386,8 @@ object Similarity {
     */
   private def ivfCellTopK(spark: SparkSession, corpus: DataFrame,
       probes: Option[DataFrame], k: Int, nlist: Int, nprobe: Int,
-      seed: Long, maxTrain: Long): DataFrame = {
+      seed: Long, maxTrain: Long,
+      metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // register on the input frames' OWN sessions too: call_function
     // resolves against the frame's session registry at analysis, which
     // in a multi-session app may differ from `spark` (the same reason
@@ -419,9 +421,20 @@ object Similarity {
         col("p.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
         dotCol(col("p.embedding"), col("c.embedding")).as("score"))
+    // skew telemetry at ZERO extra shuffle: an observe node on the
+    // candidate stream counts the pairs the cell join actually scanned.
+    // The self-join is quadratic per cell BY DESIGN (exact per-cell
+    // ranking), so a degenerate cell shows up here as candidate_pairs
+    // blowing past ~n*nprobe*avg_cell — the signal to raise nlist,
+    // exactly like Dedup's (buckets, hot_buckets, max_bucket)
+    val observed = metrics match {
+      case None => joined
+      case Some(obs) => joined.observe(obs,
+        coalesce(count(lit(1)), lit(0L)).as("candidate_pairs"))
+    }
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    observed.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** LSH-bucketed top-k: corpus bucketed once by SRP signature; each

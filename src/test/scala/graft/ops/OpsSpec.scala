@@ -438,6 +438,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfSelfTopK reports candidate_pairs skew telemetry") {
+    import org.apache.spark.sql.Observation
+    val e = embeddings.select("vec_id", "embedding")
+    val n = e.count()
+    val obs = Observation("self_knn_pairs")
+    val out = Similarity.ivfSelfTopK(spark, e, k = 3, nlist = 8, nprobe = 2,
+      metrics = Some(obs))
+    val rows = out.count()
+    val pairs = obs.get("candidate_pairs").asInstanceOf[Long]
+    info(s"n=$n candidate_pairs=$pairs result_rows=$rows")
+    // the join scanned at least as many candidates as it kept, and the
+    // count is the n*nprobe*avg_cell order of magnitude, not quadratic
+    assert(pairs >= rows)
+    assert(pairs <= n * n, "telemetry present and sane")
+    assert(pairs > 0)
+  }
+
   test("native ivf_cell expression assigns exactly like nearestCells") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
