@@ -364,10 +364,15 @@ object SparkEntry {
     // at kg_relations_counts: unplanted tokens are lowercase
     // punctuation-free words, so only the plants fire.
     "doc_pii_redact" -> ((s, dir) => {
+      // plant one of each PII class at fixed token positions (natural
+      // corpus text is digit-free words, so nothing else can match any
+      // predicate — the oracle knows the redactions by position)
       val varied = t(s, dir, "documents").select(col("doc_id"),
         expr("""array_join(transform(split(text, ' '), (t, i) ->
           CASE WHEN i % 17 = 4 THEN 'x@y.zz'
                WHEN i % 17 = 9 THEN 'http://ex.aa/p'
+               WHEN i % 17 = 12 THEN '+1-555-0107'
+               WHEN i % 17 = 14 THEN '10.20.30.41'
                ELSE t END), ' ')""").as("text"))
       graft.ops.TextAnalysis.redactPii(s, varied)
         .orderBy("doc_id")
@@ -544,6 +549,21 @@ object SparkEntry {
           nlist = 8, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"))
         .orderBy("query_id")
+    }),
+
+    // Self k-NN in exhaustive mode: nprobe = nlist means every probe
+    // vector visits EVERY quantizer cell, and since each corpus vector
+    // lives in exactly one cell, each (query, neighbor) pair meets
+    // exactly once — the shuffle-join ranking (window over the cell
+    // join, `score desc, neighbor_id asc` ties, the k cut, BOTH
+    // directions of every pair) equals brute force by construction and
+    // DuckDB oracles the full k=5 ranking rows+schema+hash. Complements
+    // `ann_self_top1`, which only pins rank 1 through planted twins.
+    "ann_self_exhaustive_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.ops.Similarity.ivfSelfTopK(s, e, k = 5, nlist = 8, nprobe = 8)
+        .select("query_id", "neighbor_id", "rk")
+        .orderBy("query_id", "rk")
     }),
 
     // Dedup: embedding-cosine near-dup pairs via SRP-LSH buckets.
@@ -1399,14 +1419,20 @@ object SparkEntry {
         |  SELECT doc_id, i,
         |    CASE WHEN (i-1) % 17 = 4 THEN '<EMAIL>'
         |         WHEN (i-1) % 17 = 9 THEN '<URL>'
+        |         WHEN (i-1) % 17 = 12 THEN '<PHONE>'
+        |         WHEN (i-1) % 17 = 14 THEN '<IP>'
         |         ELSE t END AS t2,
         |    CASE WHEN (i-1) % 17 = 4 THEN 1 ELSE 0 END AS e,
-        |    CASE WHEN (i-1) % 17 = 9 THEN 1 ELSE 0 END AS u
+        |    CASE WHEN (i-1) % 17 = 9 THEN 1 ELSE 0 END AS u,
+        |    CASE WHEN (i-1) % 17 = 12 THEN 1 ELSE 0 END AS p,
+        |    CASE WHEN (i-1) % 17 = 14 THEN 1 ELSE 0 END AS ip
         |  FROM toks)
         |SELECT doc_id,
         |  string_agg(t2, ' ' ORDER BY i) AS text_redacted,
         |  CAST(SUM(e) AS BIGINT) AS n_emails,
-        |  CAST(SUM(u) AS BIGINT) AS n_urls
+        |  CAST(SUM(u) AS BIGINT) AS n_urls,
+        |  CAST(SUM(ip) AS BIGINT) AS n_ips,
+        |  CAST(SUM(p) AS BIGINT) AS n_phones
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_repetition" ->
       """WITH d AS (
@@ -1509,6 +1535,15 @@ object SparkEntry {
         |  SELECT vec_id + 1099511627776 AS query_id,
         |    vec_id AS neighbor_id FROM embeddings)
         |ORDER BY query_id""".stripMargin,
+    "ann_self_exhaustive_topk" ->
+      """SELECT query_id, neighbor_id, rk FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) DESC,
+        |               b.vec_id ASC) AS rk
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "ann_ivf_plant_top1" ->
       """SELECT vec_id + 1099511627776 AS query_id, vec_id AS neighbor_id
         |FROM embeddings ORDER BY query_id""".stripMargin,

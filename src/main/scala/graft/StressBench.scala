@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *    staying connected (consecutive ids paired).
   *  - `simhash`:  same corpus through simhashPairs (4 rotated blocks,
   *    all degenerate).
+  *  - `keeper_cc`: one degenerate bucket of N DISTINCT content keys
+  *    (pure chain, no exact-copy runs) paired with exponential offsets
+  *    then clustered by `connectedKeepers(maxIter = 20)` — must elect
+  *    exactly ONE keeper (the diameter contract behind the offsets).
   *  - `cosine_run`: N random 16-dim embeddings bucketed by a 6-bit SRP
   *    signature (64 buckets => every bucket is hot at maxBucket=500)
   *    with a planted run of 301 identical vectors; the run branch must
@@ -138,9 +142,36 @@ object StressBench {
         s""""buckets":${m3("buckets")},"hot_buckets":${m3("hot_buckets")},""" +
         s""""max_bucket":${m3("max_bucket")}}"""
 
+    // keeper convergence: ONE degenerate bucket of n members with
+    // DISTINCT content keys — the pure-chain worst case (no exact-copy
+    // runs to shortcut connectivity) — through the exponential chain
+    // offsets into bounded-iteration CC. Consecutive offsets made this
+    // a path of diameter ~n/hotChain, which maxIter=20 split into
+    // ~n/(hotChain*20) keepers; exponential offsets bound the diameter
+    // by ~hotChain hops, so exactly ONE keeper must come back.
+    val tK = System.nanoTime()
+    val bucket = spark.range(n).select(lit(1).as("b"),
+      struct(xxhash64(col("id")).as("ck"), col("id")).as("m"))
+    val chainPairs = graft.ops.Dedup.boundedBucketPairs(bucket, Seq("b"),
+        maxBucket = 500, hotChain = 20, metrics = None)
+      .select(col("m_a.id").as("id_a"), col("m_b.id").as("id_b"))
+    val keepers = graft.ops.Dedup.connectedKeepers(spark, chainPairs, maxIter = 20)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val nAssigned = keepers.count()
+    val nKeepers = keepers.select("keeper").distinct().count()
+    val keeperSecs = (System.nanoTime() - tK) / 1e9
+    keepers.unpersist()
+    assert(nAssigned == n, s"keeper: only $nAssigned of $n ids labeled")
+    assert(nKeepers == 1,
+      s"keeper: degenerate bucket split into $nKeepers keepers at maxIter=20")
+    val keeperJson =
+      s""""keeper_cc":{"sec":${jnum(keeperSecs)},"n":$n,""" +
+        s""""keepers":$nKeepers,"assigned":$nAssigned}"""
+
     val heapMax = Runtime.getRuntime.maxMemory()
     val json = s"""{"metric":"hot_bucket_stress","n":$n,""" +
-      s""""heap_max_bytes":$heapMax,$minhashJson,$simhashJson,$cosineJson}"""
+      s""""heap_max_bytes":$heapMax,$minhashJson,$simhashJson,$cosineJson,""" +
+      s"""$keeperJson}"""
     println(json)
     val w = new java.io.PrintWriter("stress_out.json")
     try w.println(json) finally w.close()

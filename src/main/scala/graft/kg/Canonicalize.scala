@@ -1,6 +1,5 @@
 package graft.kg
 
-import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,24 +32,19 @@ object Canonicalize {
     */
   def components(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import spark.implicits._
-    // CC iterations checkpoint under spark.graphx.pregel
-    // .checkpointInterval (set in kg.Main and the test session) — see
-    // graft.spark.GraphCheckpoint for the policy and its local-only
-    // temp-dir fallback.
-    graft.spark.GraphCheckpoint.ensureDir(spark.sparkContext)
+    // CC runs on the shared graft.spark.Cc core (EdgePartition2D +
+    // Pregel checkpointing under spark.graphx.pregel.checkpointInterval
+    // — set in kg.Main and the test session; see Cc / GraphCheckpoint
+    // for the policy and its local-only temp-dir fallback).
     val edges = pairs
       .select(nameIdUdf(col("name_a")).as("src"), nameIdUdf(col("name_b")).as("dst"))
       .as[(Long, Long)].rdd
-      .map { case (s, d) => Edge(s, d, ()) }
     val vertices = pairs
       .select(explode(array(col("name_a"), col("name_b"))).as("name"))
       .distinct()
       .select(nameIdUdf(col("name")).as("id"), col("name"))
 
-    val graph = Graph.fromEdges(edges, defaultValue = ())
-      .partitionBy(PartitionStrategy.EdgePartition2D)
-    val cc = graph.connectedComponents(maxIter)
-    val ccDf = cc.vertices.toDF("id", "component")
+    val ccDf = graft.spark.Cc.components(spark, edges, maxIter)
     vertices.join(ccDf, "id").select(col("name"), col("component"))
   }
 

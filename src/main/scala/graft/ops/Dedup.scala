@@ -14,10 +14,14 @@ import graft.functions.Fnv1a64
   * Hot buckets (boilerplate-heavy corpora concentrate mass in a few
   * band keys) are neither exploded quadratically nor silently dropped:
   * buckets over `maxBucket` switch from all-pairs to CHAIN pairing —
-  * members sorted by a content key, each member paired with its next
-  * `hotChain` neighbors. That bounds the work at O(n*hotChain) per
-  * bucket and keeps the bucket CONNECTED for transitive
-  * connected-component dedup. Crucially, a hot bucket is NEVER
+  * members sorted by a content key, each member paired with the
+  * members 2^0, 2^1, ..., 2^(hotChain-1) positions ahead (exponential
+  * offsets). That bounds the work at O(n*hotChain) per bucket, keeps
+  * the bucket CONNECTED for transitive connected-component dedup, AND
+  * keeps the component's graph diameter at ~hotChain hops (any
+  * position gap is a sum of at most hotChain powers of two), so the
+  * downstream bounded-iteration CC ([[connectedKeepers]]) elects ONE
+  * keeper per degenerate bucket instead of splitting a long path. Crucially, a hot bucket is NEVER
   * materialized as one row: only in-limit buckets pass through a
   * `collect_list` (bounded by `maxBucket` members, ids + an 8-byte
   * content key each); hot buckets are chain-paired with `lead()` over a
@@ -29,8 +33,8 @@ import graft.functions.Fnv1a64
   * (complete exact-copy pair recall), larger runs stay chain-connected
   * for transitive closure; merely near-identical
   * pairs sort at unrelated positions (the key is an avalanche hash of
-  * the full signature) and are found only with ~hotChain/bucket
-  * probability — which is why every function reports
+  * the full signature) and are found only when their position gap
+  * happens to be one of the hotChain power-of-two offsets — which is why every function reports
   * (buckets, hot_buckets, max_bucket) through an [[Observation]]: a
   * non-zero hot_buckets count is the signal to split the key space
   * (more bands / more bits) rather than trust hot-bucket recall.
@@ -63,8 +67,11 @@ object Dedup {
     * no extra shuffle of the banded stream):
     *  - size <= maxBucket: all pairs, via a `collect_list` whose row is
     *    bounded by maxBucket small structs;
-    *  - size > maxBucket: chain pairs, via `lead(m, 1..hotChain)` over
-    *    the sorted window. No aggregation row ever holds the bucket:
+    *  - size > maxBucket: chain pairs, via `lead(m, 2^k)` for
+    *    k = 0..hotChain-1 over the sorted window (exponential offsets:
+    *    linear pair bound, ~log-diameter components — see the inline
+    *    comment at the `leads` construction). No aggregation row ever
+    *    holds the bucket:
     *    the window sort is Spark's spillable external sort, so one
     *    degenerate key over the whole corpus streams through O(n log n)
     *    with bounded memory instead of building an n-element (or, with
@@ -78,10 +85,10 @@ object Dedup {
     *    (xxhash64) precisely so distinct texts don't merge into one
     *    over-maxBucket run by key collision — with a 32-bit key that
     *    is a birthday-bound certainty at web scale, with 64 bits it
-    *    needs ~10^9 distinct texts in ONE bucket. Without this, K > hotChain copies of
-    *    one text in a hot bucket would only be chain-connected, and a
-    *    pair-level consumer (or oracle) would miss (i, j) pairs more
-    *    than hotChain apart in the sort.
+    *    needs ~10^9 distinct texts in ONE bucket. Without this, copies
+    *    of one text in a hot bucket would only be chain-connected, and
+    *    a pair-level consumer (or oracle) would miss (i, j) pairs whose
+    *    sort gap is not a power of two.
     *
     * All branches share the single exchange on `keys` (exchange reuse);
     * the duplicated sort+window above it (once per branch) is a
@@ -92,9 +99,11 @@ object Dedup {
     * markers, coalesced to 0 when no bucket has two members (sum/max
     * over zero rows is NULL, which would unbox as a surprise).
     */
-  private[ops] def boundedBucketPairs(df: DataFrame, keys: Seq[String],
+  private[graft] def boundedBucketPairs(df: DataFrame, keys: Seq[String],
       maxBucket: Int, hotChain: Int,
       metrics: Option[Observation]): DataFrame = {
+    require(hotChain >= 1 && hotChain <= 30,
+      s"hotChain must be in [1, 30] (got $hotChain): offsets are 2^0..2^(hotChain-1)")
     val kcols = keys.map(col)
     val ckField = df.schema("m").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.head
@@ -126,7 +135,18 @@ object Dedup {
       .groupBy(kcols: _*)
       .agg(array_sort(collect_list(col("m"))).as("members")))
     val hotRows = flagged.filter(col("bsz") > maxBucket)
-    val leads = (1 to hotChain).map(k => lead(col("m"), k).over(wC))
+    // EXPONENTIAL chain offsets 2^0, 2^1, ..., 2^(hotChain-1) — NOT
+    // consecutive 1..hotChain. Same O(n*hotChain) pair bound and the
+    // same external-sort streaming, but the hot-bucket component's
+    // diameter drops from ~n/hotChain (a path) to <= ~hotChain hops:
+    // any sort-position gap d < 2^hotChain decomposes greedily into at
+    // most hotChain power-of-two jumps (its binary representation), so
+    // connected-components converges for million-member degenerate
+    // buckets inside graft.spark.Cc's default maxIter=20 instead of
+    // splitting the bucket into ~n/(hotChain*maxIter) keepers. Offset
+    // 2^0=1 keeps consecutive members directly paired (connectivity,
+    // adjacent exact copies).
+    val leads = (0 until hotChain).map(k => lead(col("m"), 1 << k).over(wC))
     val chain = hotRows
       .select(col("m"), array(leads: _*).as("os"))
       .select(col("m").as("m_a"), explode(col("os")).as("m_b"))
@@ -203,7 +223,7 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       w: Int = 3, bands: Int = 16, rows: Int = 4,
-      minJaccard: Double = 0.7, maxBucket: Int = 1000, hotChain: Int = 4,
+      minJaccard: Double = 0.7, maxBucket: Int = 1000, hotChain: Int = 20,
       metrics: Option[Observation] = None): DataFrame = {
     import spark.implicits._
     val k = bands * rows
@@ -274,7 +294,7 @@ object Dedup {
     */
   def embeddingCosinePairs(spark: SparkSession, embeddings: DataFrame,
       minCosine: Double, nBits: Int = 6, maxBucket: Int = 500,
-      hotChain: Int = 4, metrics: Option[Observation] = None): DataFrame = {
+      hotChain: Int = 20, metrics: Option[Observation] = None): DataFrame = {
     // native codegen srp_sig: the bucketing pass touches every vector
     // once — no per-row Seq[Float] boxing (same planes/accumulation as
     // Similarity.srpSignature, so buckets are identical). Registered on
@@ -326,14 +346,14 @@ object Dedup {
     * enter the graph — 16 bytes per edge regardless of document size.
     *
     * `maxIter` bounds the Pregel supersteps (CC converges in
-    * O(component diameter) rounds, and the hot-bucket CHAIN pairing
-    * deliberately produces path-shaped components whose diameter grows
-    * with the bucket — an unbounded CC over a 10^6-member chain would
-    * run ~10^5 supersteps, each a Spark job). The bound trades
-    * completeness on pathologically long chains for a guaranteed
-    * finish, exactly like `kg.Canonicalize.components`; a chain still
-    * unconverged at maxIter splits into several keepers, never into a
-    * wrong merge.
+    * O(component diameter) rounds, each a Spark job). The hot-bucket
+    * chain pairing's EXPONENTIAL offsets keep a degenerate bucket's
+    * component diameter at ~hotChain hops (not a length-n path), so
+    * the default maxIter=20 converges to ONE keeper for buckets up to
+    * ~2^20 members at the default hotChain=20 — asserted degenerate at
+    * n=300k in StressBench and specced in OpsSpec. Components wider
+    * than the bound still split into several keepers, never into a
+    * wrong merge — same contract as `kg.Canonicalize.components`.
     *
     * NOTE: GraphX runs its own actions, so calling this EXECUTES the
     * upstream pair pipeline immediately (same as `kg_canonicalize`) —
@@ -348,17 +368,13 @@ object Dedup {
   def connectedKeepers(spark: SparkSession, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     import spark.implicits._
-    graft.spark.GraphCheckpoint.ensureDir(spark.sparkContext)
     val edges = pairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .as[(Long, Long)].rdd
-      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    // GraphX CC labels each vertex with the smallest vertex id in its
-    // component — which IS the min-doc-id keeper election
-    val cc = org.apache.spark.graphx.Graph.fromEdges(edges, defaultValue = ())
-      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
-      .connectedComponents(maxIter)
-    cc.vertices.toDF("doc_id", "keeper")
+    // the shared CC core labels each vertex with the smallest vertex
+    // id in its component — which IS the min-doc-id keeper election
+    graft.spark.Cc.components(spark, edges, maxIter)
+      .toDF("doc_id", "keeper")
   }
 
   // --- SimHash ------------------------------------------------------------
@@ -393,7 +409,7 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      maxHamming: Int = 3, maxBucket: Int = 1000, hotChain: Int = 4,
+      maxHamming: Int = 3, maxBucket: Int = 1000, hotChain: Int = 20,
       metrics: Option[Observation] = None): DataFrame = {
     import spark.implicits._
     // native codegen simhash: the hash stays inside the whole-stage

@@ -220,6 +220,9 @@ object Similarity {
   private def fitQuantizer(spark: SparkSession, corpus: DataFrame,
       nlist: Int, seed: Long, maxTrain: Long)
       : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] = {
+    // null embeddings are filtered before the fit (one malformed row
+    // must not kill the quantizer of a 10^12-row corpus; the same rows
+    // null-propagate out of the search side — see ivfCellTopK)
     val toVec = udf((v: Seq[Float]) =>
       org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble).toArray))
     val kmeans = new org.apache.spark.ml.clustering.KMeans()
@@ -250,7 +253,8 @@ object Similarity {
     //     sample(f).limit(n) GlobalLimit prefix; when P alone exceeds
     //     maxTrain, the known fraction maxTrain/P Bernoulli-trims the
     //     per-partition singletons.
-    val vecs = corpus.select(toVec(col("embedding")).as("features"))
+    val vecs = corpus.filter(col("embedding").isNotNull)
+      .select(toVec(col("embedding")).as("features"))
     val probeCap = math.min(4L * math.max(1L, maxTrain),
       (Int.MaxValue - 2).toLong).toInt
     val probed: Long = boundedCount(vecs, probeCap)
@@ -392,10 +396,14 @@ object Similarity {
     // resolves against the frame's session registry at analysis, which
     // in a multi-session app may differ from `spark` (the same reason
     // bruteForceTopK registers on corpus.sparkSession). NULL embedding
-    // rows null-propagate through the native expressions into null
-    // cells/buckets and drop out of results (the dot_f32 family
-    // semantic — one malformed row must not kill a 10^12-row job);
-    // validate embeddings upstream if absence must be loud.
+    // rows drop out of results on EVERY path: the corpus side
+    // null-propagates through the native expressions into null
+    // cells/buckets, the probe-side UDFs return zero cells/buckets
+    // for null input (explode drops the row — matters doubly in the
+    // self-join, where the corpus IS the probe side), and the
+    // quantizer fit filters them. One malformed row must not kill a
+    // 10^12-row job; validate embeddings upstream if absence must be
+    // loud.
     graft.functions.GraftFunctions.register(spark)
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     probes.foreach(p => graft.functions.GraftFunctions.register(p.sparkSession))
@@ -407,7 +415,12 @@ object Similarity {
     // array return, and in the self-join case the corpus cells are
     // already the expression)
     val centroidsLit = typedlit(bc.value.map(_.toSeq).toSeq)
-    val cellsUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, nprobe))
+    // null guard: a null embedding probes ZERO cells (empty array →
+    // explode drops the row), matching the corpus side's native
+    // null-propagation — in the self-join the corpus IS the probe
+    // side, so without this one malformed row would NPE the job
+    val cellsUdf = udf((v: Seq[Float]) =>
+      if (v == null) Array.empty[Int] else nearestCells(bc.value, v, nprobe))
 
     val cb = corpus.withColumn("cell",
       call_function("ivf_cell", col("embedding"), centroidsLit))
@@ -453,7 +466,10 @@ object Similarity {
     // the one pass that touches EVERY corpus vector; multi-probe stays
     // a UDF (probe-side only, bounded probe sets, returns an array)
     def sigCol(c: Column) = call_function("srp_sig", c, lit(nBits))
-    val probeUdf = udf((v: Seq[Float]) => srpProbeBuckets(v, nBits, multiProbe))
+    // null guard: a null embedding probes zero buckets (empty array →
+    // explode drops the row) instead of NPEing the multi-probe path
+    val probeUdf = udf((v: Seq[Float]) =>
+      if (v == null) Array.empty[Int] else srpProbeBuckets(v, nBits, multiProbe))
     val cb = corpus.withColumn("bucket", sigCol(col("embedding")))
     val pb =
       if (multiProbe <= 0) probes.withColumn("bucket", sigCol(col("embedding")))

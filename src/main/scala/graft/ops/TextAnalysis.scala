@@ -96,7 +96,14 @@ object TextAnalysis {
     * gram is a contamination candidate). The benchmark gram set is
     * BOUNDED (eval sets are small by construction), so it broadcasts
     * and the check is a broadcast semi-join on the exploded doc-gram
-    * stream — no shuffle of the corpus at any scale. Grams come from
+    * stream — no shuffle of the corpus at any scale. The broadcast is
+    * GUARDED, not assumed: a [[Similarity.boundedCount]] probe (take()-
+    * style incremental scheduling, scalars back to the driver) checks
+    * the distinct gram count against `maxBroadcastGrams` first, and a
+    * benchmark frame over the cap falls back to an UNHINTED semi-join
+    * — AQE picks broadcast vs shuffle from runtime sizes — so a caller
+    * misusing a corpus-sized frame gets a plan change instead of a
+    * driver OOM. Grams come from
     * [[Dedup.ngramSet]] (distinct per doc, shift-and-zip — the
     * HOF-re-split trap engineered out), so the count is exactly
     * |distinct doc grams ∩ benchmark grams|.
@@ -107,13 +114,21 @@ object TextAnalysis {
     */
   def contamination(spark: SparkSession, docs: DataFrame,
       benchmark: DataFrame, n: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBroadcastGrams: Long = 10000000L): DataFrame = {
     val bset = benchmark
       .select(explode(Dedup.ngramSet(col(textCol), n)).as("gram"))
       .distinct()
     val dg = docs.select(col(idCol).as("doc_id"),
       explode(Dedup.ngramSet(col(textCol), n)).as("gram"))
-    val hits = dg.join(broadcast(bset), Seq("gram"), "left_semi")
+    // the probe partially executes the gram pipeline (cheap for real
+    // eval sets — the thing being guarded); over-cap answers arrive
+    // after the first partitions and short-circuit
+    val semi =
+      if (Similarity.boundedCount(bset, maxBroadcastGrams) <= maxBroadcastGrams)
+        dg.join(broadcast(bset), Seq("gram"), "left_semi")
+      else dg.join(bset, Seq("gram"), "left_semi")
+    val hits = semi
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
     docs.select(col(idCol).as("doc_id"))
       .join(hits, Seq("doc_id"), "left")
@@ -121,17 +136,48 @@ object TextAnalysis {
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
   }
 
-  /** PII scrubbing: replace email / URL tokens with placeholder tags,
-    * counting what was redacted — every web-scale training-data
-    * pipeline scrubs PII before the corpus ships. The predicates are
-    * the PARITY-PINNED reference kernels (`Extractor.isEmail` /
-    * `isUrl`, incl. their prefix quirks — `kg_predicates` proves them
-    * equal to the DuckDB formula replicas, which is what makes this op
-    * oracle-able). URL is tested first: a URL containing '@'
-    * (userinfo/query) must not leak as half an email. A narrow
-    * per-partition kernel — no shuffle, O(doc) state.
+  /** Token-level IPv4 predicate: exactly four dot-separated runs of
+    * 1-3 ASCII digits, each octet <= 255. ASCII digits ONLY (not
+    * Character.isDigit's Unicode classes) so the Scala kernel and the
+    * DuckDB regex replica (`^\d{1,3}(\.\d{1,3}){3}$` + octet bound,
+    * RE2 \d is ASCII) agree byte-for-byte.
+    */
+  def isIpv4(t: String): Boolean = {
+    if (t == null) return false
+    val p = t.split("\\.", -1)
+    p.length == 4 && p.forall { s =>
+      s.nonEmpty && s.length <= 3 && s.forall(c => c >= '0' && c <= '9')
+    } && p.forall(_.toInt <= 255)
+  }
+
+  private val phoneRe = "\\+?[0-9][0-9-]{6,14}[0-9]".r.pattern
+
+  /** Token-level phone-number heuristic: optional leading '+', then
+    * 8-16 chars of ASCII digits/dashes starting and ending in a digit,
+    * with at least 7 digits total. Deliberately simple and REGEX-
+    * EXPRESSIBLE (DuckDB replica: anchored RE2 match + digit count),
+    * like any token-level PII pattern it trades recall on spaced
+    * formats for zero cross-token state.
+    */
+  def isPhone(t: String): Boolean =
+    t != null && phoneRe.matcher(t).matches() &&
+      t.count(c => c >= '0' && c <= '9') >= 7
+
+  /** PII scrubbing: replace email / URL / IPv4 / phone tokens with
+    * placeholder tags, counting what was redacted — every web-scale
+    * training-data pipeline scrubs PII before the corpus ships. Email
+    * and URL are the PARITY-PINNED reference kernels
+    * (`Extractor.isEmail` / `isUrl`, incl. their prefix quirks —
+    * `kg_predicates` proves them equal to the DuckDB formula
+    * replicas); IPv4 and phone are [[isIpv4]] / [[isPhone]], equally
+    * formula-replicable. Test order: URL first (a URL containing '@'
+    * must not leak as half an email), then email, then IPv4 BEFORE
+    * phone (dotted quads contain '.' so they can't match the phone
+    * pattern, but the fixed order keeps the kernel and any replica
+    * deterministic by construction). A narrow per-partition kernel —
+    * no shuffle, O(doc) state.
     *
-    * @return (doc_id, text_redacted, n_emails, n_urls)
+    * @return (doc_id, text_redacted, n_emails, n_urls, n_ips, n_phones)
     */
   def redactPii(spark: SparkSession, docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -141,6 +187,8 @@ object TextAnalysis {
       .mapPartitions(_.map { case (id, text) =>
         var nEmails = 0
         var nUrls = 0
+        var nIps = 0
+        var nPhones = 0
         // null-safe (column ops propagate null; a kernel must not NPE)
         // and limit -1: Java's default split DROPS trailing empty
         // tokens, which would silently eat trailing spaces and diverge
@@ -149,11 +197,14 @@ object TextAnalysis {
         val toks = safe.split(" ", -1).map { t =>
           if (graft.extract.Extractor.isUrl(t)) { nUrls += 1; "<URL>" }
           else if (graft.extract.Extractor.isEmail(t)) { nEmails += 1; "<EMAIL>" }
+          else if (isIpv4(t)) { nIps += 1; "<IP>" }
+          else if (isPhone(t)) { nPhones += 1; "<PHONE>" }
           else t
         }
-        (id, toks.mkString(" "), nEmails.toLong, nUrls.toLong)
+        (id, toks.mkString(" "), nEmails.toLong, nUrls.toLong,
+          nIps.toLong, nPhones.toLong)
       })
-      .toDF("doc_id", "text_redacted", "n_emails", "n_urls")
+      .toDF("doc_id", "text_redacted", "n_emails", "n_urls", "n_ips", "n_phones")
   }
 
   /** Gopher-style repetition signals — the published web-corpus

@@ -1,0 +1,51 @@
+package graft.spark
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The one GraphX connected-components core shared by
+  * `kg.Canonicalize.components` (entity canonicalization) and
+  * `ops.Dedup.connectedKeepers` (near-dup clustering). Both consumers
+  * previously inlined the same fromEdges / EdgePartition2D / Pregel-
+  * checkpoint / CC sequence; a single core keeps their skew and
+  * convergence assumptions from drifting apart — in particular the
+  * pairing-diameter contract: `Dedup.boundedBucketPairs`' exponential
+  * chain offsets guarantee hot-bucket component diameter <= ~log2(n),
+  * which is what makes the default `maxIter` here sufficient for ONE
+  * label per degenerate bucket. Changing either side means revisiting
+  * the other.
+  *
+  * Skew policy: EdgePartition2D spreads a hot vertex's edges over
+  * sqrt(P) partitions (the edge-cut analog of salting). Checkpoint
+  * policy: Pregel honors `spark.graphx.pregel.checkpointInterval`;
+  * [[GraphCheckpoint.ensureDir]] supplies a local-mode temp dir when
+  * the caller set the interval but no directory (see its scaladoc for
+  * the cluster fail-fast and cleanup semantics).
+  *
+  * NOTE: GraphX runs its own actions — calling this EXECUTES the
+  * upstream pipeline that produced `edges` immediately; it is not a
+  * lazily-composable DataFrame transform.
+  */
+object Cc {
+
+  /** Connected components over undirected (a, b) edge pairs.
+    *
+    * @param maxIter Pregel superstep bound — CC converges in
+    *   O(component diameter) rounds and each round is a Spark job, so
+    *   an unbounded run over a path-shaped 10^6-vertex component would
+    *   schedule ~10^5 jobs. Components still unconverged at maxIter
+    *   SPLIT (several labels, never a wrong merge).
+    * @return (id, component) — component is the smallest vertex id in
+    *   the component, i.e. the min-id election both consumers want.
+    */
+  def components(spark: SparkSession, edges: RDD[(Long, Long)],
+      maxIter: Int = 20): DataFrame = {
+    GraphCheckpoint.ensureDir(spark.sparkContext)
+    val es = edges.map { case (a, b) => Edge(a, b, ()) }
+    val cc = Graph.fromEdges(es, defaultValue = ())
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+      .connectedComponents(maxIter)
+    spark.createDataFrame(cc.vertices).toDF("id", "component")
+  }
+}

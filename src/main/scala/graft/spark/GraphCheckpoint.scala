@@ -16,9 +16,16 @@ import org.apache.spark.SparkContext
   * checkpoint parts to its own disk and the driver's listing would
   * come back empty mid-CC), so this fails fast with instructions
   * instead of half-checkpointing into a broken state.
+  *
+  * SIDE EFFECT: when the fallback fires, the SparkContext's global
+  * checkpoint dir is set for the rest of the context's life (any later
+  * checkpoint of any RDD lands there). The temp dir (and the rdd-*
+  * checkpoint data GraphX writes into it) is removed by a JVM shutdown
+  * hook, so repeated local runs/tests don't accumulate checkpoint
+  * litter under java.io.tmpdir.
   */
 object GraphCheckpoint {
-  def ensureDir(sc: SparkContext): Unit = {
+  def ensureDir(sc: SparkContext): Unit = synchronized {
     if (sc.getConf.getInt("spark.graphx.pregel.checkpointInterval", -1) > 0 &&
         sc.getCheckpointDir.isEmpty) {
       require(sc.isLocal,
@@ -26,8 +33,21 @@ object GraphCheckpoint {
           "dir is: call sc.setCheckpointDir with a SHARED path (kg.Main " +
           "sets <outDir>/_checkpoints) before running connected components " +
           "on a cluster")
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+      val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(dir)))
+      sc.setCheckpointDir(dir.toString)
     }
   }
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () } // best-effort at JVM exit
 }

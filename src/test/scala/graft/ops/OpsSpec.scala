@@ -455,6 +455,28 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs > 0)
   }
 
+  test("null embedding rows drop out of every ANN path, never NPE") {
+    // one malformed (null-embedding) row in a 10^12-row corpus must
+    // not kill the job — including the paths where the null crosses a
+    // probe-side UDF: ivfSelfTopK (the corpus IS the probe side),
+    // ivfTopK's nprobe-cells UDF, lshTopK's multi-probe UDF, and the
+    // quantizer fit itself. The null row contributes no query and no
+    // neighbor; everything else is unaffected.
+    val e = embeddings.select("vec_id", "embedding").limit(50)
+    val withNull = e.unionByName(spark.sql(
+      "SELECT CAST(999999 AS BIGINT) vec_id, CAST(NULL AS ARRAY<FLOAT>) embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    val self = ids(Similarity.ivfSelfTopK(spark, withNull, k = 2, nlist = 4, nprobe = 2))
+    assert(!self.contains(999999L) && self.nonEmpty)
+    val ivf = ids(Similarity.ivfTopK(spark, withNull, withNull, k = 2,
+      nlist = 4, nprobe = 2))
+    assert(!ivf.contains(999999L) && ivf.nonEmpty)
+    val lsh = ids(Similarity.lshTopK(spark, withNull, withNull, k = 2,
+      nBits = 4, multiProbe = 2))
+    assert(!lsh.contains(999999L) && lsh.nonEmpty)
+  }
+
   test("native ivf_cell expression assigns exactly like nearestCells") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
@@ -536,6 +558,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("contamination: oversized benchmark drops the broadcast hint, same answer") {
+    import spark.implicits._
+    // an over-cap "benchmark" (the misuse case) must flip to an
+    // UNHINTED semi-join — no user-forced BroadcastExchange in the
+    // plan, AQE free to choose — and produce identical counts
+    val docs = Seq((1L, "the quick brown fox jumps"),
+      (2L, "totally different words here")).toDF("doc_id", "text")
+    val big = spark.range(5000).select(col("id").as("doc_id"),
+      concat(lit("quick brown fox word"), col("id").cast("string"),
+        lit(" tail word"), col("id").cast("string")).as("text"))
+    val guarded = TextAnalysis.contamination(spark, docs, big, n = 3,
+      maxBroadcastGrams = 100)
+    // the semi-join on the over-cap side carries no broadcast HINT
+    // (ResolvedHint/broadcast) in the analyzed plan
+    val analyzed = guarded.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"over-cap benchmark still hinted:\n$analyzed")
+    val small = TextAnalysis.contamination(spark, docs, big, n = 3)
+    assert(guarded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      small.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("redactPii: reference-quirk predicates, URL-before-email, counts") {
     import spark.implicits._
     val docs = Seq(
@@ -555,6 +599,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == (("", 0L, 0L)))
     assert(out(5L) == (("a b ", 0L, 0L)))
     assert(out(6L) == (("", 0L, 0L))) // null-safe, no NPE
+  }
+
+  test("redactPii: IPv4 and phone classes, predicate edges") {
+    import spark.implicits._
+    import TextAnalysis.{isIpv4, isPhone}
+    assert(isIpv4("10.20.30.41") && isIpv4("0.0.0.0") && isIpv4("255.255.255.255"))
+    assert(!isIpv4("256.1.1.1")) // octet bound
+    assert(!isIpv4("1.2.3"))     // three octets
+    assert(!isIpv4("1.2.3.4.5")) // five
+    assert(!isIpv4("1..2.3"))    // empty octet
+    assert(!isIpv4("1.2.3.4a") && !isIpv4("1.2.3.") && !isIpv4(null))
+    assert(!isIpv4("١.٢.٣.٤"))   // Unicode digits are NOT digits here
+    assert(isPhone("+1-555-0107") && isPhone("5550100123") && isPhone("555-010-0199"))
+    assert(!isPhone("12-34"))     // too few digits
+    assert(!isPhone("-1234567-")) // must start/end on a digit
+    assert(!isPhone("+12345678901234567")) // too long
+    assert(!isPhone("123-abc-4567") && !isPhone(null))
+    val docs = Seq(
+      (1L, "call +1-555-0107 or ping 10.20.30.41 now"),
+      // an IPv4 must not count as a phone (fixed test order)
+      (2L, "8.8.8.8"),
+      (3L, "year 2026 is short")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == (("call <PHONE> or ping <IP> now", 1L, 1L)))
+    assert(out(2L) == (("<IP>", 1L, 0L)))
+    assert(out(3L) == (("year 2026 is short", 0L, 0L)))
   }
 
   test("repetition: dup-word and top-bigram fractions, short-doc edges") {
@@ -585,6 +657,31 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("exponential chain offsets: one keeper per degenerate bucket at maxIter=20") {
+    // ONE hot bucket of 20k members with DISTINCT content keys — the
+    // pure-chain worst case (the runs branch contributes nothing).
+    // Consecutive offsets 1..hotChain made this a path whose diameter
+    // (~n/hotChain) dwarfed connectedKeepers' maxIter=20, splitting the
+    // bucket into hundreds of keepers; exponential offsets 2^0..2^19
+    // bound the diameter by ~20 hops, so CC must converge to exactly
+    // ONE keeper (the min id) — while the pair count stays linear.
+    val n = 20000
+    val bucket = spark.range(n).select(lit(1).as("b"),
+      struct(xxhash64(col("id")).as("ck"), col("id")).as("m"))
+    val pairs = Dedup.boundedBucketPairs(bucket, Seq("b"), maxBucket = 50,
+        hotChain = 20, metrics = None)
+      .select(col("m_a.id").as("id_a"), col("m_b.id").as("id_b"))
+      .persist()
+    val nPairs = pairs.count()
+    assert(nPairs <= n.toLong * 20, s"pair bound broken: $nPairs")
+    val keepers = Dedup.connectedKeepers(spark, pairs, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    pairs.unpersist()
+    assert(keepers.length == n, s"only ${keepers.length} of $n ids labeled")
+    assert(keepers.forall(_._2 == 0L),
+      s"expected ONE keeper (id 0), got ${keepers.map(_._2).distinct.length}")
   }
 
   test("boundedCount: exact at/under cap, over-cap detection, empty input") {
