@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSession
   * Output: ONE JSON line on stdout (unprefixed — build.sbt routes the
   * forked JVM straight to stdout) and mirrored to `bench_out.json`:
   *   {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
-  *    "failed":{...},"scaling":{...}}
+  *    "failed":{...},"query_env":{...},"query_samples":{...},
+  *    "self_knn":{...},"scaling":{...}}
   *
   * Measurement validity:
   *  - queries are timed to FULL materialization
@@ -22,6 +23,12 @@ import org.apache.spark.sql.SparkSession
   *    queries would time little more than the scan;
   *  - a query that throws is reported in `failed` (value -1), never as
   *    a near-zero "success";
+  *  - `queries` keeps the driver contract (name -> best seconds);
+  *    `query_samples` carries BOTH raw runs per query, each stamped
+  *    with its start loadavg and GC delta, so a burst-inflated number
+  *    is self-diagnosing in the artifact; `self_knn` surfaces the
+  *    candidate_pairs skew Observation of a full self k-NN pass over
+  *    the sf embeddings;
   *  - every scaling sample records the host 1-min loadavg, the JVM's
   *    process-CPU utilization of its core budget, and GC ms — this VM
   *    shares a host with co-tenants (observed loadavg 3-10 with zero
@@ -99,7 +106,8 @@ object Bench {
     * itself must also stay machine-parseable).
     */
   def jsonLine(results: Map[String, Double], failed: Map[String, String],
-      sfDir: String, scaling: String, queryEnv: String = "null"): String = {
+      sfDir: String, scaling: String, queryEnv: String = "null",
+      querySamples: String = "null", selfKnn: String = "null"): String = {
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -115,7 +123,8 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,"sf":"${esc(sfDir)}",""" +
-      s""""query_env":$queryEnv,"scaling":$scaling}"""
+      s""""query_env":$queryEnv,"query_samples":$querySamples,""" +
+      s""""self_knn":$selfKnn,"scaling":$scaling}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -205,30 +214,40 @@ object Bench {
     val qGc0 = gcMs()
     val qT0 = System.nanoTime()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query noise telemetry: each sample carries the 1-min loadavg
+    // at its start and its own GC delta, so a burst-inflated number is
+    // self-diagnosing IN the artifact (r4's suite total had to be
+    // explained from suite-level query_env after the fact)
+    val sampleLog = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = (if (doQueries) SparkEntry.queries
       else Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
       .map { case (name, fn) =>
       // full materialization: every output row of every column is
       // produced (toRdd sits above all projections; count() would let
       // Catalyst prune them)
-      def once(): Double = {
+      def once(): (Double, String) = {
+        val l0 = loadAvg()
+        val g0 = gcMs()
         val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
-            -1.0
-        }
+        val sec =
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+              -1.0
+          }
+        (sec, f"""{"sec":$sec%.3f,"load":$l0%.2f,"gc_ms":${gcMs() - g0}}""")
       }
       // min-of-2 per query: the first run also JIT-warms the query's
       // code paths, and the min discards co-tenant noise bursts; a
       // failure on one run does not discard the other run's valid
       // measurement (the query is `failed` only if BOTH runs failed)
-      val a = once()
-      val c = once()
+      val (a, aj) = once()
+      val (c, cj) = once()
+      sampleLog(name) = s"[$aj,$cj]"
       val b =
         if (a >= 0 && c >= 0) math.min(a, c)
         else if (a >= 0) a
@@ -236,6 +255,32 @@ object Bench {
       if (b >= 0) failed.remove(name)
       name -> b
     }
+
+    // self k-NN skew telemetry surfaced in the bench line: the
+    // candidate_pairs Observation ivfSelfTopK computes at zero extra
+    // shuffle, over the REAL sf embeddings — the number that flags a
+    // degenerate quantizer cell (pairs blowing past n*nprobe*avg_cell)
+    // on a production corpus. One extra pass, not part of any query's
+    // timing.
+    val selfKnn: String = if (!doQueries) "null" else
+      try {
+        val obs = new org.apache.spark.sql.Observation("bench_self_knn")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val t0 = System.nanoTime()
+        // count() (a Dataset action), NOT queryExecution.toRdd: the
+        // Observation's metrics are delivered by the query-execution
+        // listener, which only fires on Dataset actions — executing
+        // the physical RDD directly would leave obs.get blocked
+        // forever
+        val rows = graft.ops.Similarity
+          .ivfSelfTopK(spark, e, k = 5, nlist = 8, nprobe = 2,
+            metrics = Some(obs))
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val pairs = obs.get("candidate_pairs").asInstanceOf[Long]
+        f"""{"candidate_pairs":$pairs,"result_rows":$rows,"sec":$sec%.3f}"""
+      } catch { case _: Throwable => "null" }
     spark.stop()
 
     val qSec = (System.nanoTime() - qT0) / 1e9
@@ -246,7 +291,12 @@ object Bench {
         f""""wall_sec":$qSec%.3f,"cpu_util":$util%.3f,""" +
         f""""gc_ms":${gcMs() - qGc0}}"""
     }
-    val line = jsonLine(results, failed.toMap, sfDir, scaling, queryEnv)
+    val querySamples =
+      if (!doQueries) "null"
+      else sampleLog.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val line = jsonLine(results, failed.toMap, sfDir, scaling, queryEnv,
+      querySamples, selfKnn)
     // stdout (unprefixed via build.sbt outputStrategy) + file mirror so
     // the driver can machine-read it either way
     println(line)

@@ -451,6 +451,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL learned-merge BPE (train + apply, ops.Bpe) oracled at its
+    // training FIXED POINT: the corpus vocabulary is finite (31
+    // words), so 200 merges collapse every training word to ONE token
+    // — n_tokens = per-doc word count — while a planted all-OOV word
+    // ("zxzx": 'z'/'x' never occur in the corpus, so no learned merge
+    // can touch any of its pairs) falls back to characters and adds
+    // exactly 4. Training determinism + mid-training merge order +
+    // greedy lowest-rank apply are pinned exactly by the hand-computed
+    // Sennrich-example golden in BpeSpec; this query oracles the
+    // distributed train->broadcast->apply pipeline end-to-end.
+    "doc_bpe_real" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Bpe.trainMerges(s, docs, numMerges = 200)
+      val withOov = docs.select(col("doc_id"),
+        concat(col("text"), lit(" zxzx")).as("text"))
+      graft.ops.Bpe.tokenCounts(s, withOov, merges).orderBy("doc_id")
+    }),
+
     // ANN: brute-force top-1 neighbor by dot product (exact doubles on
     // both sides -> argmax is oracle-checkable).
     "ann_top1_dot" -> ((s, dir) => {
@@ -621,6 +639,29 @@ object SparkEntry {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("bands").cast("long").as("bands"), col("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal REAL resample oracled end-to-end: deterministic
+    // grayscale PNGs decoded then box-filtered 2x2 (output sample =
+    // floor(mean of its block), partial blocks dropped) — output dims
+    // and the resampled pixel sum are closed-form from the generator
+    // parameters, so DuckDB reproduces the full decode->area-average
+    // path without any image library.
+    "mm_resize_real" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len"))
+        .as[(Long, Int)]
+        .map { case (id, len) =>
+          val w = 6 + (id % 7).toInt
+          val h = 6 + len % 5
+          (id, graft.ops.Multimodal.syntheticImage(id, w, h, "png"))
+        }.toDF("media_id", "media")
+      graft.ops.Multimodal.resizeImage(s, media, fx = 2, fy = 2).toDF()
+        .select(col("media_id").as("doc_id"), col("status"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pixel_sum"))
         .orderBy("doc_id")
     }),
 
@@ -1493,6 +1534,13 @@ object SparkEntry {
       """SELECT doc_id,
         |CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // fixed-point BPE: every in-vocab word -> 1 token, the planted
+    // 4-char OOV word -> 4 character tokens
+    "doc_bpe_real" ->
+      """SELECT doc_id,
+        |CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) + 4
+        |  AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ann_top1_dot" ->
       """SELECT a.vec_id AS query_id,
         |ARG_MAX(b.vec_id, LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) AS neighbor_id
@@ -1590,6 +1638,20 @@ object SparkEntry {
         |  CAST(list_sum(flatten(list_transform(range(0, h), y ->
         |    list_transform(range(0, w), x ->
         |      (doc_id*31 + x*7 + y*13) % 256)))) AS BIGINT) AS pixel_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "mm_resize_real" ->
+      """WITH d AS (
+        |  SELECT doc_id, 6 + doc_id % 7 AS w, 6 + LENGTH(text) % 5 AS h
+        |  FROM documents)
+        |SELECT doc_id, 'ok' AS status,
+        |  CAST(w // 2 AS BIGINT) AS width, CAST(h // 2 AS BIGINT) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(0, h // 2), Y ->
+        |    list_transform(range(0, w // 2), X ->
+        |      ((doc_id*31 + (2*X)*7   + (2*Y)*13) % 256
+        |     + (doc_id*31 + (2*X+1)*7 + (2*Y)*13) % 256
+        |     + (doc_id*31 + (2*X)*7   + (2*Y+1)*13) % 256
+        |     + (doc_id*31 + (2*X+1)*7 + (2*Y+1)*13) % 256) // 4))))
+        |    AS BIGINT) AS pixel_sum
         |FROM d ORDER BY doc_id""".stripMargin,
     "dedup_embed_cosine" ->
       """SELECT vec_id AS id_a, vec_id + 1099511627776 AS id_b,

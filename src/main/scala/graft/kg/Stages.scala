@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * exists, so a killed job resumes from the last completed stage. A
   * lineage row per output partition (stage, partition_id, input_rows,
   * output_rows, wall_ms) appends to `<base>/_lineage`.
+  *
+  * CONCURRENCY CONTRACT: one runner per outDir at a time. run_seq is
+  * assigned by read-then-write over the shared lineage dir (max
+  * recorded + 1, floored by this runner's clock), so two runners
+  * appending the SAME stage concurrently can mint the same run_seq and
+  * [[outputRowsOf]] would then sum both appends. Sequential resumes —
+  * including from a different host with a skewed clock — are exactly
+  * what the scheme is built for; run concurrent drivers against
+  * separate outDirs.
   */
 final class Stages(spark: SparkSession, base: String) {
 
@@ -89,8 +98,20 @@ final class Stages(spark: SparkSession, base: String) {
         val mine = lineage().filter(col("stage") === name)
         val rows = mine
           .join(mine.agg(max(col("run_seq")).as("run_seq")), Seq("run_seq"))
-          .agg(sum(col("output_rows"))).collect()
-        if (rows.isEmpty || rows(0).isNullAt(0)) -1L else rows(0).getLong(0)
+          .agg(sum(col("output_rows")), max(col("run_seq")),
+            count(lit(1)), countDistinct(col("partition_id"))).collect()
+        if (rows.isEmpty || rows(0).isNullAt(0)) -1L
+        else {
+          // legacy guard: every pre-upgrade append coalesced to
+          // run_seq 0, so a stage force-recomputed more than once back
+          // then has SEVERAL appends sharing the "latest" run — visible
+          // only as duplicate partition_ids. Report unknown (-1) rather
+          // than the inflated multi-run sum; post-upgrade runs get a
+          // fresh run_seq per append and never trip this.
+          val legacyDup = rows(0).getLong(1) == 0L &&
+            rows(0).getLong(2) != rows(0).getLong(3)
+          if (legacyDup) -1L else rows(0).getLong(0)
+        }
       } catch {
         case _: org.apache.spark.sql.AnalysisException => -1L // no lineage yet
       }

@@ -97,7 +97,11 @@ object Multimodal {
     * seam real for JDK-supported containers; byte-range [[frameSample]]
     * remains the declared stub for true video codecs, which no JDK
     * library decodes. Undecodable payloads surface as ONE
-    * status='error' row (frame_id -1).
+    * status='error' row (frame_id -1); a container whose HEADER
+    * decodes but where an individual frame then fails (e.g. truncated
+    * mid-stream) keeps its good frames and reports a per-frame
+    * status='error' row for each bad one — partial recovery, never
+    * all-or-nothing.
     */
   def decodeFramesOne(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] = {
     val err = Seq(DecodedFrame(id, -1, "error", -1, -1, 0L))
@@ -117,23 +121,30 @@ object Multimodal {
           // media row would silently vanish from the output)
           if (n <= 0) return err
           (0 until n).map { f =>
-            val img = reader.read(f)
-            val raster = img.getRaster
-            val bands = raster.getNumBands
-            val w = img.getWidth
-            val h = img.getHeight
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                var b = 0
-                while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
-                x += 1
+            // per-frame try: one truncated frame must not discard the
+            // frames already decoded from the same container
+            try {
+              val img = reader.read(f)
+              val raster = img.getRaster
+              val bands = raster.getNumBands
+              val w = img.getWidth
+              val h = img.getHeight
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var b = 0
+                  while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              DecodedFrame(id, f, "ok", w, h, sum)
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                DecodedFrame(id, f, "error", -1, -1, 0L)
             }
-            DecodedFrame(id, f, "ok", w, h, sum)
           }
         } finally reader.dispose()
       } finally in.close()
@@ -354,13 +365,91 @@ object Multimodal {
       }
   }
 
-  /** Resize to (targetW x targetH): the metadata arithmetic is real;
-    * the pixel resample is the stub seam (deterministic stride-sample
-    * of the source bytes to targetW*targetH*channels output bytes, so
-    * output size is exactly what a real resampler would produce). The
-    * `grouped(batchSize)` layer marks the seam where a real resampler
-    * would make one vectorized call per batch — with the per-element
-    * stub it changes nothing observable.
+  final case class ResizedImage(media_id: Long, status: String,
+      width: Int, height: Int, pixel_sum: Long)
+
+  /** REAL integer-factor box-filter (area-average) downsample of one
+    * JDK-decodable image: output sample (X, Y, band) = floor(mean of
+    * its fx*fy source block); trailing rows/columns that don't fill a
+    * whole block are dropped, so output dims = (w/fx, h/fy) in integer
+    * division. `pixel_sum` totals the resampled samples over all bands
+    * — closed-form for the synthetic gradient images, which is what
+    * lets `mm_resize_real` oracle the decode->resample path exactly.
+    * Same error contract as [[decodeImageOne]]: undecodable bytes come
+    * back as one status='error' row, never an exception.
+    */
+  def resizeBoxOne(id: Long, bytes: Array[Byte], fx: Int, fy: Int): ResizedImage = {
+    val err = ResizedImage(id, "error", -1, -1, 0L)
+    if (bytes == null || bytes.length == 0) return err
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return err
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val img = reader.read(0)
+          val raster = img.getRaster
+          val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+          val outW = w / fx
+          val outH = h / fy
+          val area = fx.toLong * fy
+          var sum = 0L
+          var b = 0
+          while (b < bands) {
+            var oy = 0
+            while (oy < outH) {
+              var ox = 0
+              while (ox < outW) {
+                var block = 0L
+                var dy = 0
+                while (dy < fy) {
+                  var dx = 0
+                  while (dx < fx) {
+                    block += raster.getSample(ox * fx + dx, oy * fy + dy, b)
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                sum += block / area
+                ox += 1
+              }
+              oy += 1
+            }
+            b += 1
+          }
+          ResizedImage(id, "ok", outW, outH, sum)
+        } finally reader.dispose()
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => err
+    }
+  }
+
+  /** media(media_id BIGINT, media BINARY) -> real box-filter resample,
+    * batched per partition like [[decodeImage]].
+    */
+  def resizeImage(spark: SparkSession, media: DataFrame,
+      fx: Int, fy: Int, batchSize: Int = 64): Dataset[ResizedImage] = {
+    import spark.implicits._
+    require(fx > 0 && fy > 0, "box factors must be positive")
+    media.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) => resizeBoxOne(id, bytes, fx, fy) }
+        }
+      }
+  }
+
+  /** Resize to (targetW x targetH) over an OPAQUE binary payload: the
+    * metadata arithmetic is real; the pixel resample is a stride-sample
+    * of the source bytes. With [[resizeImage]] now doing the REAL
+    * area-average resample for every JDK-decodable image, this remains
+    * only as the declared seam for codecs the JDK cannot decode (true
+    * video) — same status as [[frameSample]].
     */
   def resize(spark: SparkSession, media: DataFrame,
       targetW: Int, targetH: Int, channels: Int = 3,

@@ -29,5 +29,18 @@ class BenchJsonSpec extends AnyFunSuite {
     val line = Bench.jsonLine(Map("a" -> 0.5), Map.empty, "/x", "null")
     val root = mapper.readTree(line)
     assert(root.get("scaling").isNull)
+    assert(root.get("query_samples").isNull && root.get("self_knn").isNull)
+  }
+
+  test("jsonLine carries per-query samples and self-kNN skew telemetry") {
+    val samples = """{"a":[{"sec":0.500,"load":1.25,"gc_ms":10},""" +
+      """{"sec":0.480,"load":1.10,"gc_ms":0}]}"""
+    val knn = """{"candidate_pairs":12345,"result_rows":2500,"sec":1.100}"""
+    val line = Bench.jsonLine(Map("a" -> 0.48), Map.empty, "/x", "null",
+      "null", samples, knn)
+    val root = mapper.readTree(line)
+    assert(root.get("query_samples").get("a").size() == 2)
+    assert(root.get("query_samples").get("a").get(1).get("load").asDouble() == 1.10)
+    assert(root.get("self_knn").get("candidate_pairs").asLong() == 12345L)
   }
 }

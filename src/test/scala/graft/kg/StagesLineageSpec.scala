@@ -63,6 +63,30 @@ class StagesLineageSpec extends AnyFunSuite {
     assert(linC.forall(_.getAs[Long]("input_rows") == 1L))
   }
 
+  test("legacy multi-append at run_seq 0 reports unknown, not an inflated sum") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stages_legacy").toString
+    val st = new Stages(spark, base)
+    // two pre-upgrade appends of the same stage (no run_seq column →
+    // both coalesce to 0): the "latest run" filter can't separate
+    // them, and duplicate partition_ids are the only tell — the sum
+    // 10+10=20 would be a silent double count
+    for (_ <- 1 to 2)
+      spark.range(1).select(
+        lit("old_twice").as("stage"), lit(0).as("partition_id"),
+        lit(10L).as("input_rows"), lit(10L).as("output_rows"),
+        lit(5L).as("wall_ms"))
+        .write.mode("append").parquet(st.lineagePath)
+    assert(st.outputRowsOf("old_twice") == -1L)
+    // a SINGLE legacy append stays summable (unique partition ids)
+    spark.range(2).select(
+      lit("old_once").as("stage"), col("id").cast("int").as("partition_id"),
+      lit(4L).as("input_rows"), lit(4L).as("output_rows"),
+      lit(5L).as("wall_ms"))
+      .write.mode("append").parquet(st.lineagePath)
+    assert(st.outputRowsOf("old_once") == 8L)
+  }
+
   test("force-recomputed stage never double-counts across lineage appends") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("stages_recompute").toString

@@ -67,6 +67,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated container keeps its good frames, bad frames error per-frame") {
+    // chop the 4-frame TIFF mid-stream: the directory still announces
+    // frames whose strip data is gone. Earlier frames must survive
+    // with exact sums; each unreadable frame gets its OWN error row —
+    // partial recovery, not the old all-or-nothing replacement.
+    val full = Multimodal.syntheticTiffFrames(seed = 5L, w = 6, h = 3, nFrames = 4)
+    val cutpoints = Seq(full.length * 3 / 4, full.length / 2)
+    val recovered = cutpoints.map { cut =>
+      val frames = Multimodal.decodeFramesOne(9L, full.take(cut))
+      // whatever decodes must be exact; whatever doesn't must surface
+      frames.foreach { fr =>
+        if (fr.status == "ok")
+          assert(fr.pixel_sum == expectedFrameSum(5L, fr.frame_id, 6, 3))
+        else assert((fr.width, fr.height, fr.pixel_sum) == ((-1, -1, 0L)))
+      }
+      frames.count(_.status == "ok")
+    }
+    // at the milder cut at least one frame must actually survive —
+    // otherwise this test degenerates to the all-or-nothing behavior
+    // it is meant to rule out
+    assert(recovered.head >= 1,
+      s"no frames recovered from a 3/4-length container: $recovered")
+  }
+
   test("single-frame containers decode as one frame; corrupt as error row") {
     val png = Multimodal.syntheticImage(7L, 4, 4, "png")
     val one = Multimodal.decodeFramesOne(1L, png)

@@ -290,6 +290,37 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("count") > 4).count() == 0)
   }
 
+  test("real box-filter resize: floor-mean blocks, partial blocks dropped, errors surface") {
+    // 7x5 gradient image, 2x2 boxes: output 3x2, the 7th column and
+    // 5th row never contribute. Expected sums computed directly from
+    // the generator formula here, independently of the kernel.
+    val seed = 11L
+    def px(x: Int, y: Int) = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+    var want = 0L
+    for (oy <- 0 until 2; ox <- 0 until 3)
+      want += (px(2 * ox, 2 * oy) + px(2 * ox + 1, 2 * oy) +
+        px(2 * ox, 2 * oy + 1) + px(2 * ox + 1, 2 * oy + 1)) / 4
+    val bytes = Multimodal.syntheticImage(seed, 7, 5, "png")
+    val got = Multimodal.resizeBoxOne(seed, bytes, 2, 2)
+    assert(got == Multimodal.ResizedImage(seed, "ok", 3, 2, want))
+    // factor larger than the image: zero output pixels, sum 0
+    assert(Multimodal.resizeBoxOne(1L, Multimodal.syntheticImage(1L, 3, 3), 4, 4)
+      == Multimodal.ResizedImage(1L, "ok", 0, 0, 0L))
+    // undecodable/null payloads: error row, no exception
+    assert(Multimodal.resizeBoxOne(2L, "not an image".getBytes, 2, 2).status == "error")
+    assert(Multimodal.resizeBoxOne(3L, null, 2, 2).status == "error")
+    // distributed wrapper: deterministic across partitioning/batching
+    import spark.implicits._
+    val media = (0L until 40L).map(i =>
+      (i, Multimodal.syntheticImage(i, 6 + (i % 3).toInt, 7, "png")))
+      .toDF("media_id", "media")
+    val a = Multimodal.resizeImage(spark, media, 2, 2, batchSize = 7)
+      .collect().sortBy(_.media_id).toSeq
+    val b = Multimodal.resizeImage(spark, media.repartition(9), 2, 2)
+      .collect().sortBy(_.media_id).toSeq
+    assert(a == b && a.forall(_.status == "ok"))
+  }
+
   test("multimodal resize: exact output size, deterministic, null-safe") {
     val media = documents.select(col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("media"))
@@ -453,6 +484,57 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs >= rows)
     assert(pairs <= n * n, "telemetry present and sane")
     assert(pairs > 0)
+  }
+
+  test("ivfSelfTopK: degenerate cell skew-splits under AQE, telemetry dominates") {
+    import spark.implicits._
+    // one quantizer cell carrying ~half the corpus (800 copies of a
+    // single vector): the cell join's hot partition must be split by
+    // AQE's skew-join re-plan (`skew=true` in the final plan, same
+    // assertion as LinkSpec's hot-alias case) and the candidate_pairs
+    // Observation must report the quadratic fan-out of that cell —
+    // the raise-nlist signal at production scale.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val dim = 16
+      val rnd = new scala.util.Random(7)
+      val base = (0 until 800).map(i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      val hotVec = Seq.fill(dim)(0.9f)
+      val hot = (0 until 800).map(i => ((10000 + i).toLong, hotVec))
+      val e = (base ++ hot).toDF("vec_id", "embedding").repartition(8)
+      val obs = new org.apache.spark.sql.Observation("skew_pairs")
+      val out = Similarity.ivfSelfTopK(spark, e, k = 2, nlist = 8,
+        nprobe = 1, metrics = Some(obs))
+      assert(out.collect().nonEmpty)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected an AQE skew-split cell join in the final plan:\n$plan")
+      val pairs = obs.get("candidate_pairs").asInstanceOf[Long]
+      assert(pairs >= 800L * 799L,
+        s"hot cell's quadratic fan-out must dominate candidate_pairs: $pairs")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
   }
 
   test("null embedding rows drop out of every ANN path, never NPE") {
