@@ -256,16 +256,31 @@ object Bench {
       name -> b
     }
 
+    // query_env closes BEFORE the telemetry pass below: wall_sec /
+    // cpu_util / gc_ms diagnose the QUERY SUITE's contention and must
+    // stay comparable across rounds — folding the extra self-kNN pass
+    // in would mis-attribute its cost to co-tenant noise
+    val qSec = (System.nanoTime() - qT0) / 1e9
+    val qCpu1 = processCpuNs()
+    val queryEnv = if (!doQueries) "null" else {
+      val util = cpuUtilOf(qCpu0, qCpu1, qSec, cpus)
+      f"""{"load_start":$qLoad0%.2f,"load_end":${loadAvg()}%.2f,""" +
+        f""""wall_sec":$qSec%.3f,"cpu_util":$util%.3f,""" +
+        f""""gc_ms":${gcMs() - qGc0}}"""
+    }
+
     // self k-NN skew telemetry surfaced in the bench line: the
     // candidate_pairs Observation ivfSelfTopK computes at zero extra
     // shuffle, over the REAL sf embeddings — the number that flags a
     // degenerate quantizer cell (pairs blowing past n*nprobe*avg_cell)
     // on a production corpus. One extra pass, not part of any query's
-    // timing.
+    // timing or of query_env.
     val selfKnn: String = if (!doQueries) "null" else
       try {
         val obs = new org.apache.spark.sql.Observation("bench_self_knn")
-        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        // Tables.table, not a hardcoded parquet path: SPARK_GRAFT_SF_DIR
+        // may be a catalog:<ns> reference like every query's t() input
+        val e = graft.io.Tables.table(spark, sfDir, "embeddings")
           .select("vec_id", "embedding")
         val t0 = System.nanoTime()
         // count() (a Dataset action), NOT queryExecution.toRdd: the
@@ -282,15 +297,6 @@ object Bench {
         f"""{"candidate_pairs":$pairs,"result_rows":$rows,"sec":$sec%.3f}"""
       } catch { case _: Throwable => "null" }
     spark.stop()
-
-    val qSec = (System.nanoTime() - qT0) / 1e9
-    val qCpu1 = processCpuNs()
-    val queryEnv = if (!doQueries) "null" else {
-      val util = cpuUtilOf(qCpu0, qCpu1, qSec, cpus)
-      f"""{"load_start":$qLoad0%.2f,"load_end":${loadAvg()}%.2f,""" +
-        f""""wall_sec":$qSec%.3f,"cpu_util":$util%.3f,""" +
-        f""""gc_ms":${gcMs() - qGc0}}"""
-    }
     val querySamples =
       if (!doQueries) "null"
       else sampleLog.map { case (k, v) => "\"" + k + "\":" + v }

@@ -99,18 +99,23 @@ final class Stages(spark: SparkSession, base: String) {
         val rows = mine
           .join(mine.agg(max(col("run_seq")).as("run_seq")), Seq("run_seq"))
           .agg(sum(col("output_rows")), max(col("run_seq")),
-            count(lit(1)), countDistinct(col("partition_id"))).collect()
+            count(lit(1)), countDistinct(col("partition_id")),
+            sum(when(col("partition_id") === -1, 1L).otherwise(0L))).collect()
         if (rows.isEmpty || rows(0).isNullAt(0)) -1L
         else {
           // legacy guard: every pre-upgrade append coalesced to
           // run_seq 0, so a stage force-recomputed more than once back
-          // then has SEVERAL appends sharing the "latest" run — visible
-          // only as duplicate partition_ids. Report unknown (-1) rather
-          // than the inflated multi-run sum; post-upgrade runs get a
-          // fresh run_seq per append and never trip this.
-          val legacyDup = rows(0).getLong(1) == 0L &&
-            rows(0).getLong(2) != rows(0).getLong(3)
-          if (legacyDup) -1L else rows(0).getLong(0)
+          // then has SEVERAL appends sharing the "latest" run. Visible
+          // as duplicate partition_ids, OR as an empty-run sentinel
+          // (partition_id -1) mixed with real partition rows — a single
+          // clean append writes the sentinel ONLY when it has no other
+          // rows. Report unknown (-1) rather than an inflated stale
+          // sum; post-upgrade runs get a fresh run_seq per append and
+          // never trip this.
+          val n = rows(0).getLong(2)
+          val legacyAmbiguous = rows(0).getLong(1) == 0L &&
+            (n != rows(0).getLong(3) || (rows(0).getLong(4) >= 1L && n > 1L))
+          if (legacyAmbiguous) -1L else rows(0).getLong(0)
         }
       } catch {
         case _: org.apache.spark.sql.AnalysisException => -1L // no lineage yet

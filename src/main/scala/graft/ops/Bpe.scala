@@ -19,7 +19,9 @@ import scala.collection.mutable
   * (map-side combined, shuffles only distinct words), the top
   * `maxWords` by frequency are collected (a few MB at any corpus
   * size; Zipf makes the tail irrelevant to pair counts), and the
-  * per-iteration pair counting touches only that in-memory table.
+  * merge loop maintains pair counts INCREMENTALLY through an
+  * occurrence index (each merge touches only the words containing the
+  * merged pair — the classic Sennrich-implementation optimization).
   * Merge ties break deterministically (count desc, then lexicographic
   * pair), so the table is reproducible across runs and partitionings.
   *
@@ -54,48 +56,80 @@ object Bpe {
       .collect()
       .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
 
-    val merges = mutable.ArrayBuffer.empty[(String, String)]
     val words = wordCounts.map(_._1)
     val counts = wordCounts.map(_._2)
-    var iter = 0
-    var done = false
-    while (iter < numMerges && !done) {
-      // count adjacent pairs, weighted by word frequency
-      val pairCounts = mutable.HashMap.empty[(String, String), Long]
-      var wi = 0
-      while (wi < words.length) {
-        val w = words(wi)
+
+    // INCREMENTAL pair bookkeeping (the classic Sennrich optimization):
+    // global pair counts plus an occurrence index pair -> word indices,
+    // so each merge touches only the words that actually contain the
+    // merged pair. Recounting every pair over the whole word table per
+    // iteration would be O(numMerges * total vocab chars) on the
+    // driver — minutes at maxWords=10^6 while the cluster idles.
+    def pairsOf(w: Array[String]): mutable.HashMap[(String, String), Int] = {
+      val m = mutable.HashMap.empty[(String, String), Int]
+      var i = 0
+      while (i < w.length - 1) {
+        val p = (w(i), w(i + 1))
+        m.update(p, m.getOrElse(p, 0) + 1)
+        i += 1
+      }
+      m
+    }
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val occur = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    var wi = 0
+    while (wi < words.length) {
+      pairsOf(words(wi)).foreach { case (p, c) =>
+        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c.toLong * counts(wi))
+        occur.getOrElseUpdate(p, mutable.Set.empty) += wi
+      }
+      wi += 1
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.size < numMerges && pairCounts.nonEmpty) {
+      // deterministic argmax: count desc, then lexicographic pair
+      val best = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }._1
+      merges += best
+      val joined = best._1 + best._2
+      occur.getOrElse(best, mutable.Set.empty).toArray.foreach { idx =>
+        val w = words(idx)
+        val before = pairsOf(w)
+        // apply the merge left-to-right (the training-time semantics
+        // the greedy-by-rank apply reproduces)
+        val out = mutable.ArrayBuffer.empty[String]
         var i = 0
-        while (i < w.length - 1) {
-          val p = (w(i), w(i + 1))
-          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + counts(wi))
-          i += 1
+        while (i < w.length) {
+          if (i < w.length - 1 && w(i) == best._1 && w(i + 1) == best._2) {
+            out += joined; i += 2
+          } else { out += w(i); i += 1 }
         }
-        wi += 1
-      }
-      if (pairCounts.isEmpty) done = true
-      else {
-        // deterministic argmax: count desc, then lexicographic pair
-        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
-        merges += best
-        val joined = best._1 + best._2
-        wi = 0
-        while (wi < words.length) {
-          val w = words(wi)
-          if (w.length > 1) {
-            val out = mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < w.length) {
-              if (i < w.length - 1 && w(i) == best._1 && w(i + 1) == best._2) {
-                out += joined; i += 2
-              } else { out += w(i); i += 1 }
-            }
-            if (out.length != w.length) words(wi) = out.toArray
+        words(idx) = out.toArray
+        val after = pairsOf(words(idx))
+        // diff this word's pair contribution: count 0 <=> no word
+        // contains the pair, so count and index removal stay in sync
+        before.foreach { case (p, c) =>
+          val d = after.getOrElse(p, 0) - c
+          if (d != 0) {
+            val nc = pairCounts.getOrElse(p, 0L) + d.toLong * counts(idx)
+            if (nc <= 0L) pairCounts.remove(p) else pairCounts.update(p, nc)
           }
-          wi += 1
+          if (!after.contains(p))
+            occur.get(p).foreach { s =>
+              s -= idx
+              if (s.isEmpty) { occur.remove(p); pairCounts.remove(p) }
+            }
         }
-        iter += 1
+        after.foreach { case (p, c) =>
+          if (!before.contains(p)) {
+            pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c.toLong * counts(idx))
+            occur.getOrElseUpdate(p, mutable.Set.empty) += idx
+          }
+        }
       }
+      // the merged pair itself is gone from every affected word
+      occur.remove(best)
+      pairCounts.remove(best)
     }
     merges.toSeq
   }

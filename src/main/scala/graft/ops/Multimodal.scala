@@ -27,48 +27,65 @@ object Multimodal {
       media_id: Long, status: String, format: String,
       width: Int, height: Int, bands: Int, pixel_sum: Long)
 
-  /** Decode one image with javax.imageio. Never throws: undecodable
-    * bytes (no registered reader, truncated stream, null payload)
-    * come back as a status='error' row. The input stream is memory-
-    * cached explicitly — ImageIO's default FileCache would write every
-    * image to executor-local tmp files.
+  /** Shared ImageIO scaffold for every real decode kernel
+    * ([[decodeImageOne]], [[decodeFramesOne]], [[resizeBoxOne]]): a
+    * memory-cached input stream (ImageIO's default FileCache would
+    * write every image to executor-local tmp files), the first
+    * registered reader, guaranteed dispose/close, and the shared error
+    * contract — null/empty payloads, no registered reader, or a
+    * throwing decode return `onError` instead of propagating (one
+    * malformed row must never kill the job).
     */
-  def decodeImageOne(id: Long, bytes: Array[Byte]): DecodedImage = {
-    val err = DecodedImage(id, "error", "", -1, -1, 0, 0L)
-    if (bytes == null || bytes.length == 0) return err
+  private def withImageReader[A](bytes: Array[Byte], onError: => A)
+      (f: javax.imageio.ImageReader => A): A = {
+    if (bytes == null || bytes.length == 0) return onError
     try {
       val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
-        if (!readers.hasNext) return err
+        if (!readers.hasNext) return onError
         val reader = readers.next()
-        try {
-          reader.setInput(in)
-          val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
-          val img = reader.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          val raster = img.getRaster
-          val bands = raster.getNumBands
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              var b = 0
-              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
-              x += 1
-            }
-            y += 1
-          }
-          DecodedImage(id, "ok", fmt, w, h, bands, sum)
-        } finally reader.dispose()
+        try { reader.setInput(in); f(reader) }
+        finally reader.dispose()
       } finally in.close()
     } catch {
-      case scala.util.control.NonFatal(_) => err
+      case scala.util.control.NonFatal(_) => onError
     }
   }
+
+  /** Sum of every sample over every band — the closed-form-checkable
+    * decode statistic shared by the image and frame kernels.
+    */
+  private def sampleSum(img: java.awt.image.BufferedImage): Long = {
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Decode one image with javax.imageio. Never throws: undecodable
+    * bytes come back as a status='error' row (see [[withImageReader]]).
+    */
+  def decodeImageOne(id: Long, bytes: Array[Byte]): DecodedImage =
+    withImageReader(bytes, DecodedImage(id, "error", "", -1, -1, 0, 0L)) { reader =>
+      val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+      val img = reader.read(0)
+      DecodedImage(id, "ok", fmt, img.getWidth, img.getHeight,
+        img.getRaster.getNumBands, sampleSum(img))
+    }
 
   /** media(media_id BIGINT, media BINARY) -> real ImageIO decode,
     * batched per partition like [[decode]] (the batch layer is where a
@@ -105,51 +122,23 @@ object Multimodal {
     */
   def decodeFramesOne(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] = {
     val err = Seq(DecodedFrame(id, -1, "error", -1, -1, 0L))
-    if (bytes == null || bytes.length == 0) return err
-    try {
-      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(in)
-        if (!readers.hasNext) return err
-        val reader = readers.next()
+    withImageReader(bytes, err) { reader =>
+      val n = reader.getNumImages(true)
+      // a reader that reports ZERO images is an undecodable payload
+      // too — the error row must surface, not an empty Seq (the
+      // media row would silently vanish from the output)
+      if (n <= 0) err
+      else (0 until n).map { f =>
+        // per-frame try: one truncated frame must not discard the
+        // frames already decoded from the same container
         try {
-          reader.setInput(in)
-          val n = reader.getNumImages(true)
-          // a reader that reports ZERO images is an undecodable payload
-          // too — the error row must surface, not an empty Seq (the
-          // media row would silently vanish from the output)
-          if (n <= 0) return err
-          (0 until n).map { f =>
-            // per-frame try: one truncated frame must not discard the
-            // frames already decoded from the same container
-            try {
-              val img = reader.read(f)
-              val raster = img.getRaster
-              val bands = raster.getNumBands
-              val w = img.getWidth
-              val h = img.getHeight
-              var sum = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  var b = 0
-                  while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
-                  x += 1
-                }
-                y += 1
-              }
-              DecodedFrame(id, f, "ok", w, h, sum)
-            } catch {
-              case scala.util.control.NonFatal(_) =>
-                DecodedFrame(id, f, "error", -1, -1, 0L)
-            }
-          }
-        } finally reader.dispose()
-      } finally in.close()
-    } catch {
-      case scala.util.control.NonFatal(_) => err
+          val img = reader.read(f)
+          DecodedFrame(id, f, "ok", img.getWidth, img.getHeight, sampleSum(img))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            DecodedFrame(id, f, "error", -1, -1, 0L)
+        }
+      }
     }
   }
 
@@ -378,55 +367,40 @@ object Multimodal {
     * Same error contract as [[decodeImageOne]]: undecodable bytes come
     * back as one status='error' row, never an exception.
     */
-  def resizeBoxOne(id: Long, bytes: Array[Byte], fx: Int, fy: Int): ResizedImage = {
-    val err = ResizedImage(id, "error", -1, -1, 0L)
-    if (bytes == null || bytes.length == 0) return err
-    try {
-      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(in)
-        if (!readers.hasNext) return err
-        val reader = readers.next()
-        try {
-          reader.setInput(in)
-          val img = reader.read(0)
-          val raster = img.getRaster
-          val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
-          val outW = w / fx
-          val outH = h / fy
-          val area = fx.toLong * fy
-          var sum = 0L
-          var b = 0
-          while (b < bands) {
-            var oy = 0
-            while (oy < outH) {
-              var ox = 0
-              while (ox < outW) {
-                var block = 0L
-                var dy = 0
-                while (dy < fy) {
-                  var dx = 0
-                  while (dx < fx) {
-                    block += raster.getSample(ox * fx + dx, oy * fy + dy, b)
-                    dx += 1
-                  }
-                  dy += 1
-                }
-                sum += block / area
-                ox += 1
+  def resizeBoxOne(id: Long, bytes: Array[Byte], fx: Int, fy: Int): ResizedImage =
+    withImageReader(bytes, ResizedImage(id, "error", -1, -1, 0L)) { reader =>
+      val img = reader.read(0)
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      val outW = w / fx
+      val outH = h / fy
+      val area = fx.toLong * fy
+      var sum = 0L
+      var b = 0
+      while (b < bands) {
+        var oy = 0
+        while (oy < outH) {
+          var ox = 0
+          while (ox < outW) {
+            var block = 0L
+            var dy = 0
+            while (dy < fy) {
+              var dx = 0
+              while (dx < fx) {
+                block += raster.getSample(ox * fx + dx, oy * fy + dy, b)
+                dx += 1
               }
-              oy += 1
+              dy += 1
             }
-            b += 1
+            sum += block / area
+            ox += 1
           }
-          ResizedImage(id, "ok", outW, outH, sum)
-        } finally reader.dispose()
-      } finally in.close()
-    } catch {
-      case scala.util.control.NonFatal(_) => err
+          oy += 1
+        }
+        b += 1
+      }
+      ResizedImage(id, "ok", outW, outH, sum)
     }
-  }
 
   /** media(media_id BIGINT, media BINARY) -> real box-filter resample,
     * batched per partition like [[decodeImage]].

@@ -151,17 +151,27 @@ object TextAnalysis {
   }
 
   private val phoneRe = "\\+?[0-9][0-9-]{6,14}[0-9]".r.pattern
+  // the two pervasive non-PII shapes that would otherwise match:
+  // ISO dates (2026-08-17) and year ranges (1990-2026)
+  private val isoDateRe = "[0-9]{4}-[0-9]{2}-[0-9]{2}".r.pattern
+  private val yearRangeRe = "[0-9]{4}-[0-9]{4}".r.pattern
 
   /** Token-level phone-number heuristic: optional leading '+', then
     * 8-16 chars of ASCII digits/dashes starting and ending in a digit,
-    * with at least 7 digits total. Deliberately simple and REGEX-
-    * EXPRESSIBLE (DuckDB replica: anchored RE2 match + digit count),
-    * like any token-level PII pattern it trades recall on spaced
-    * formats for zero cross-token state.
+    * with at least 7 digits total — EXCLUDING the two pervasive
+    * non-PII shapes that would otherwise be scrubbed out of web text
+    * wholesale: ISO dates (`2026-08-17`) and year ranges
+    * (`1990-2026`). Deliberately simple and REGEX-EXPRESSIBLE (DuckDB
+    * replica: anchored RE2 matches + digit count); like any
+    * token-level PII pattern it trades recall on spaced formats — and
+    * precision on bare digit runs like `20260817`, which remain
+    * indistinguishable from unformatted numbers — for zero cross-token
+    * state.
     */
   def isPhone(t: String): Boolean =
     t != null && phoneRe.matcher(t).matches() &&
-      t.count(c => c >= '0' && c <= '9') >= 7
+      t.count(c => c >= '0' && c <= '9') >= 7 &&
+      !isoDateRe.matcher(t).matches() && !yearRangeRe.matcher(t).matches()
 
   /** PII scrubbing: replace email / URL / IPv4 / phone tokens with
     * placeholder tags, counting what was redacted — every web-scale

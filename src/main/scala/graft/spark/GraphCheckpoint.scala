@@ -49,5 +49,8 @@ object GraphCheckpoint {
           .forEach(p => Files.deleteIfExists(p))
         finally walk.close()
       }
-    } catch { case _: java.io.IOException => () } // best-effort at JVM exit
+      // NonFatal, not just IOException: Files.walk wraps iteration
+      // failures in UncheckedIOException (a RuntimeException), e.g.
+      // when Spark's own shutdown hooks remove rdd-* dirs mid-walk
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort at JVM exit
 }

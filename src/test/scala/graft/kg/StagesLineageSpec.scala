@@ -85,6 +85,27 @@ class StagesLineageSpec extends AnyFunSuite {
       lit(5L).as("wall_ms"))
       .write.mode("append").parquet(st.lineagePath)
     assert(st.outputRowsOf("old_once") == 8L)
+    // legacy append + later legacy EMPTY recompute (sentinel only):
+    // partition ids {0, -1} are distinct, but the sentinel next to real
+    // rows is still two runs — the stale 7-row sum must not surface
+    spark.range(1).select(
+      lit("old_then_empty").as("stage"), lit(0).as("partition_id"),
+      lit(7L).as("input_rows"), lit(7L).as("output_rows"),
+      lit(5L).as("wall_ms"))
+      .write.mode("append").parquet(st.lineagePath)
+    spark.range(1).select(
+      lit("old_then_empty").as("stage"), lit(-1).as("partition_id"),
+      lit(0L).as("input_rows"), lit(0L).as("output_rows"),
+      lit(5L).as("wall_ms"))
+      .write.mode("append").parquet(st.lineagePath)
+    assert(st.outputRowsOf("old_then_empty") == -1L)
+    // a lone legacy sentinel (ran once, produced nothing) is still 0
+    spark.range(1).select(
+      lit("old_empty").as("stage"), lit(-1).as("partition_id"),
+      lit(0L).as("input_rows"), lit(0L).as("output_rows"),
+      lit(5L).as("wall_ms"))
+      .write.mode("append").parquet(st.lineagePath)
+    assert(st.outputRowsOf("old_empty") == 0L)
   }
 
   test("force-recomputed stage never double-counts across lineage appends") {

@@ -698,6 +698,9 @@ class OpsSpec extends AnyFunSuite {
     assert(!isPhone("-1234567-")) // must start/end on a digit
     assert(!isPhone("+12345678901234567")) // too long
     assert(!isPhone("123-abc-4567") && !isPhone(null))
+    assert(!isPhone("2026-08-17")) // ISO date is not PII
+    assert(!isPhone("1990-2026"))  // year range is not PII
+    assert(isPhone("+2026-08-17") && isPhone("555-2026-08")) // but near-misses still are
     val docs = Seq(
       (1L, "call +1-555-0107 or ping 10.20.30.41 now"),
       // an IPv4 must not count as a phone (fixed test order)
