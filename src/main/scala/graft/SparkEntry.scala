@@ -451,6 +451,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization (ops.Urls — pure codegen column kernel, the
+    // crawl-side dedup key): five planted variant shapes per doc_id
+    // (case/port/userinfo/tracking-params/fragment noise, plus a
+    // schemeless malformed row) whose canonical forms are closed-form
+    // strings — the oracle needs no URL library, it writes the
+    // expected output directly, like the multimodal oracles.
+    "doc_url_canonical" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        expr("""CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN concat('HTTPS://WWW.Example', doc_id % 7,
+            '.COM:443/a/', doc_id, '?utm_source=x&b=2&a=1#frag')
+          WHEN 1 THEN concat('http://user:pw@ex', doc_id % 7,
+            '.org:8080/p/', doc_id, '/?z=9&fbclid=abc')
+          WHEN 2 THEN concat('http://EX', doc_id % 7, '.com:80')
+          WHEN 3 THEN concat('https://ex', doc_id % 7,
+            '.net/path?gclid=1&utm_medium=m')
+          ELSE concat('not a url ', doc_id) END""").as("url"))
+      urls.select(col("doc_id"),
+        graft.ops.Urls.canonicalize(col("url")).as("url_canonical"),
+        graft.ops.Urls.host(col("url")).as("host"),
+        graft.ops.Urls.scheme(col("url")).as("scheme"))
+        .orderBy("doc_id")
+    }),
+
     // REAL learned-merge BPE (train + apply, ops.Bpe) oracled at its
     // training FIXED POINT: the corpus vocabulary is finite (31
     // words), so 200 merges collapse every training word to ONE token
@@ -1534,6 +1558,26 @@ object SparkEntry {
       """SELECT doc_id,
         |CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_url_canonical" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS v,
+        |    CAST(doc_id % 7 AS VARCHAR) AS k FROM documents)
+        |SELECT doc_id,
+        |  CASE v
+        |    WHEN 0 THEN 'https://www.example' || k || '.com/a/' || doc_id || '?a=1&b=2'
+        |    WHEN 1 THEN 'http://ex' || k || '.org:8080/p/' || doc_id || '/?z=9'
+        |    WHEN 2 THEN 'http://ex' || k || '.com/'
+        |    WHEN 3 THEN 'https://ex' || k || '.net/path'
+        |    ELSE NULL END AS url_canonical,
+        |  CASE v
+        |    WHEN 0 THEN 'www.example' || k || '.com'
+        |    WHEN 1 THEN 'ex' || k || '.org'
+        |    WHEN 2 THEN 'ex' || k || '.com'
+        |    WHEN 3 THEN 'ex' || k || '.net'
+        |    ELSE '' END AS host,
+        |  CASE v WHEN 0 THEN 'https' WHEN 1 THEN 'http'
+        |    WHEN 2 THEN 'http' WHEN 3 THEN 'https' ELSE '' END AS scheme
+        |FROM d ORDER BY doc_id""".stripMargin,
     // fixed-point BPE: every in-vocab word -> 1 token, the planted
     // 4-char OOV word -> 4 character tokens
     "doc_bpe_real" ->
