@@ -451,6 +451,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4-style line-level corpus dedup: every doc gets a unique intro
+    // line and a unique body line (kept), plus one boilerplate line
+    // planted in ALL docs and one in every even doc (both over the
+    // minDocs=3 doc-frequency threshold -> removed) — so the cleaned
+    // text and the removal counts are closed-form.
+    "doc_line_dedup" -> ((s, dir) => {
+      val varied = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("intro "), col("doc_id"), lit("\n"),
+          col("doc_id"), lit(":"), col("text"),
+          lit("\nsubscribe to our newsletter"),
+          when(col("doc_id") % 2 === 0, lit("\nfollow us on social media"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.Dedup.removeBoilerplateLines(s, varied, minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization (ops.Urls — pure codegen column kernel, the
     // crawl-side dedup key): five planted variant shapes per doc_id
     // (case/port/userinfo/tracking-params/fragment noise, plus a
@@ -1557,6 +1574,11 @@ object SparkEntry {
     "doc_bpe_tokens" ->
       """SELECT doc_id,
         |CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_line_dedup" ->
+      """SELECT doc_id,
+        |  'intro ' || doc_id || chr(10) || doc_id || ':' || text AS text_clean,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_url_canonical" ->
       """WITH d AS (

@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   *    (pure chain, no exact-copy runs) paired with exponential offsets
   *    then clustered by `connectedKeepers(maxIter = 20)` — must elect
   *    exactly ONE keeper (the diameter contract behind the offsets).
+  *  - `bpe_train`: the incremental BPE trainer over a 200k-word
+  *    Zipf-ish vocabulary, 500 merges — driver-side fit cost evidence.
   *  - `cosine_run`: N random 16-dim embeddings bucketed by a 6-bit SRP
   *    signature (64 buckets => every bucket is hot at maxBucket=500)
   *    with a planted run of 301 identical vectors; the run branch must
@@ -168,10 +170,30 @@ object StressBench {
       s""""keeper_cc":{"sec":${jnum(keeperSecs)},"n":$n,""" +
         s""""keepers":$nKeepers,"assigned":$nAssigned}"""
 
+    // BPE trainer at vocabulary scale: 200k distinct 8-hex-char words
+    // with a Zipf-ish frequency head, 500 merges. The incremental pair
+    // bookkeeping (occurrence index, diff-only updates) makes this
+    // seconds on the driver; the naive per-iteration full recount it
+    // replaced was O(numMerges * total vocab chars) — minutes at this
+    // size, unbounded at the documented maxWords=10^6 cap.
+    val tB = System.nanoTime()
+    val nWords = 200000
+    val bpeDocs = spark.range(nWords).select(
+      expr("substr(md5(cast(id as string)), 1, 8)").as("w"),
+      expr("cast(1 + least(200, cast(200000 / (id + 1) as int)) as int)").as("f"))
+      .select(expr("array_join(array_repeat(w, f), ' ')").as("text"))
+    val bpeMerges = graft.ops.Bpe.trainMerges(spark, bpeDocs,
+      numMerges = 500, maxWords = nWords)
+    val bpeSecs = (System.nanoTime() - tB) / 1e9
+    assert(bpeMerges.size == 500,
+      s"bpe: expected 500 merges, got ${bpeMerges.size}")
+    val bpeJson = s""""bpe_train":{"sec":${jnum(bpeSecs)},""" +
+      s""""vocab":$nWords,"merges":${bpeMerges.size}}"""
+
     val heapMax = Runtime.getRuntime.maxMemory()
     val json = s"""{"metric":"hot_bucket_stress","n":$n,""" +
       s""""heap_max_bytes":$heapMax,$minhashJson,$simhashJson,$cosineJson,""" +
-      s"""$keeperJson}"""
+      s"""$keeperJson,$bpeJson}"""
     println(json)
     val w = new java.io.PrintWriter("stress_out.json")
     try w.println(json) finally w.close()

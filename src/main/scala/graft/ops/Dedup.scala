@@ -46,6 +46,48 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_key"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
 
+  /** C4-style LINE-level corpus dedup: a line occurring in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav bars, cookie
+    * banners, "subscribe" footers — the repeated-across-pages mass
+    * that document-level dedup can't touch) and is removed from EVERY
+    * document; the surviving lines reassemble in original order.
+    *
+    * Scale shape: two shuffles, both on the line's 16-byte md5 digest
+    * (the same collision-negligible content key as [[exact]] — line
+    * text itself is never the shuffle key). The doc-frequency count is
+    * map-side combinable; the boilerplate set joins back hash-to-hash;
+    * reassembly groups by doc_id with a collect_list bounded by the
+    * DOCUMENT's own line count (the same per-doc bound every narrow
+    * kernel here has — no corpus-sized aggregation row anywhere).
+    *
+    * @return (doc_id, text_clean, n_removed) for every document; a doc
+    *         whose lines were ALL boilerplate keeps an empty text_clean
+    *         (the row must surface, not vanish).
+    */
+  def removeBoilerplateLines(spark: SparkSession, docs: DataFrame,
+      minDocs: Long = 3, sep: String = "\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+    val hot = lines.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(true).as("bp"))
+    lines.join(hot, Seq("h"), "left")
+      .withColumn("bp", coalesce(col("bp"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("bp"), struct(col("pos"), col("line"))))),
+            s => s("line")),
+          sep).as("text_clean"),
+        sum(when(col("bp"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Word-set Jaccard similarity between explicit candidate pairs. */
   def jaccard(a: Column, b: Column): Column = {
     val sa = array_distinct(split(a, " "))

@@ -191,6 +191,30 @@ class OpsSpec extends AnyFunSuite {
     ids.map(find).distinct.size
   }
 
+  test("line dedup: doc-frequency threshold, order kept, all-boilerplate doc surfaces") {
+    import spark.implicits._
+    // "nav" in 3 docs (== minDocs -> removed), "twice" in 2 (< 3 ->
+    // kept), unique lines kept in original order; doc 4 is ONLY
+    // boilerplate and must surface with empty text, not vanish
+    val docs = Seq(
+      (1L, "nav\nalpha\ntwice\nbeta"),
+      (2L, "twice\nnav\ngamma"),
+      (3L, "delta\nnav"),
+      (4L, "nav")).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateLines(spark, docs, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (("alpha\ntwice\nbeta", 1L)),
+      2L -> (("twice\ngamma", 1L)),
+      3L -> (("delta", 1L)),
+      4L -> (("", 1L))))
+    // custom separator: same semantics over e.g. sentence-split docs
+    val dot = Seq((1L, "a.x.b"), (2L, "x.c"), (3L, "x")).toDF("doc_id", "text")
+    val got2 = Dedup.removeBoilerplateLines(spark, dot, minDocs = 3, sep = ".")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(1L -> "a.b", 2L -> "c", 3L -> ""))
+  }
+
   test("minhash-lsh hot bucket: bounded chain pairs, connected, counted") {
     import spark.implicits._
     val n = 3000
