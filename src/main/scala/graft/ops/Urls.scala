@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Everything here is PURE COLUMN COMPOSITION over built-in functions
   * (`regexp_extract` / `substring_index` / higher-order `filter` /
-  * `array_sort`): the whole kernel stays inside whole-stage codegen —
-  * no UDF, no boxing — and every rule is formula-replicable in the
-  * DuckDB oracle (`doc_url_canonical`), the same discipline as the
-  * `kg_predicates` quirk replicas.
+  * `array_sort`): no UDF, no Python eval, no per-row JVM round trip.
+  * (The higher-order param-filter/sort lambdas are Catalyst
+  * expressions that evaluate interpreted — Spark's lambda nodes don't
+  * join whole-stage codegen — but the scalar regexp/string kernels
+  * do; PlanShapeSpec pins the no-UDF property.) Every rule is
+  * formula-replicable in the DuckDB oracle (`doc_url_canonical`), the
+  * same discipline as the `kg_predicates` quirk replicas.
   *
   * Rules (documented contract, deterministic):
   *  1. scheme and host lowercase;

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate: the properties that make the flagship
+  * queries scale — column pruning reaching the parquet scan, filter
+  * pushdown, broadcast joins where one side is bounded, whole-stage
+  * codegen, and no cartesian products — asserted on the ACTUAL plans
+  * of the registry queries, so a refactor that silently trades one of
+  * them away (a UDF slipping into a hot projection, a lost filter, a
+  * broadcast turning into a sort-merge of a tiny side) fails here
+  * rather than surfacing as an unexplained bench regression at 100x
+  * the data.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q1_agg: column pruning reaches the lineitem scan") {
+    val plan = planOf("q1_agg")
+    // the scan must read ONLY the 4 aggregated/grouped columns — an
+    // 11-column read for a 4-column agg is exactly the waste the brief
+    // calls out at 100 TB
+    assert(plan.contains("l_quantity") && plan.contains("l_returnflag"))
+    for (dropped <- Seq("l_orderkey", "l_partkey", "l_shipdate", "l_tax"))
+      assert(!plan.contains(dropped),
+        s"pruned column $dropped leaked into the q1_agg scan:\n$plan")
+  }
+
+  test("ann_top1_dot: probe filter pushes down, probes broadcast") {
+    val plan = planOf("ann_top1_dot")
+    assert(plan.contains("LessThan(vec_id,500)"),
+      s"probe filter must reach the parquet scan (PushedFilters):\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"bounded probe set must broadcast, corpus must stream:\n$plan")
+  }
+
+  test("q2_join_broadcast: small dimension joins as broadcast hash join") {
+    val plan = planOf("q2_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tiny dim side must never sort-merge:\n$plan")
+  }
+
+  test("column-only kernels: codegen spans present, no UDF or python eval") {
+    // doc_split_assign / doc_quality are scalar-expression-only and
+    // must sit inside whole-stage codegen spans (the `*(n)` markers in
+    // the final adaptive plan); doc_url_canonical additionally uses
+    // higher-order lambdas (filter/array_sort), which Spark evaluates
+    // as interpreted Catalyst expressions OUTSIDE codegen — so for it
+    // the pinned property is no-UDF/no-python, not span coverage
+    for (name <- Seq("doc_split_assign", "doc_quality")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // finalize the adaptive plan — codegen `*(n)`
+      // markers only appear once isFinalPlan=true
+      val plan = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+        s"$name lost whole-stage codegen:\n$plan")
+    }
+    for (name <- Seq("doc_url_canonical", "doc_split_assign", "doc_quality")) {
+      val plan = planOf(name)
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython") &&
+        !plan.contains("ArrowEvalPython"),
+        s"$name must stay UDF-free:\n$plan")
+    }
+  }
+
+  test("no cartesian products anywhere in the registry") {
+    // every join in every registered query must have an equi-condition
+    // (or be a broadcast nested loop over a BOUNDED side, which the
+    // registry never needs): a CartesianProduct node is always a bug
+    // at corpus scale
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("doc_line_dedup: bounded exchange count (df count + join + regroup)") {
+    val plan = planOf("doc_line_dedup")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 5,
+      s"line dedup grew to $exchanges exchanges — the two-shuffle-on-digest shape broke:\n$plan")
+  }
+}
