@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   *    exactly ONE keeper (the diameter contract behind the offsets).
   *  - `bpe_train`: the incremental BPE trainer over a 200k-word
   *    Zipf-ish vocabulary, 500 merges — driver-side fit cost evidence.
+  *  - `line_dedup`: C4-style line removal with ONE boilerplate line in
+  *    EVERY document — the hottest doc-frequency key stays bounded.
   *  - `cosine_run`: N random 16-dim embeddings bucketed by a 6-bit SRP
   *    signature (64 buckets => every bucket is hot at maxBucket=500)
   *    with a planted run of 301 identical vectors; the run branch must
@@ -190,10 +192,37 @@ object StressBench {
     val bpeJson = s""""bpe_train":{"sec":${jnum(bpeSecs)},""" +
       s""""vocab":$nWords,"merges":${bpeMerges.size}}"""
 
+    // line dedup with ONE line in EVERY document: the boilerplate
+    // line's 16-byte digest is the hottest possible doc-frequency key.
+    // The count's first stage keys by (digest, doc_id) — n distinct
+    // keys, no hot partition — and the second stage map-side-combines
+    // to one row per digest, so the degenerate line costs O(n) spread
+    // work, never an n-row reducer. Unique lines must survive, the
+    // boilerplate must vanish from all n docs.
+    val tL = System.nanoTime()
+    val lineDocs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("unique line "), col("id"),
+        lit("\nsubscribe to our newsletter")).as("text"))
+    val cleaned = graft.ops.Dedup.removeBoilerplateLines(spark, lineDocs,
+        minDocs = 3)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val nDocs = cleaned.count()
+    val nRemoved = cleaned.agg(sum(col("n_removed"))).collect()(0).getLong(0)
+    val cleanOk = cleaned
+      .filter(col("text_clean") === concat(lit("unique line "), col("doc_id")))
+      .count()
+    val lineSecs = (System.nanoTime() - tL) / 1e9
+    cleaned.unpersist()
+    assert(nDocs == n, s"line_dedup: $nDocs of $n docs surfaced")
+    assert(nRemoved == n, s"line_dedup: removed $nRemoved, expected $n")
+    assert(cleanOk == n, s"line_dedup: only $cleanOk docs kept their unique line")
+    val lineJson = s""""line_dedup":{"sec":${jnum(lineSecs)},"n":$n,""" +
+      s""""removed":$nRemoved}"""
+
     val heapMax = Runtime.getRuntime.maxMemory()
     val json = s"""{"metric":"hot_bucket_stress","n":$n,""" +
       s""""heap_max_bytes":$heapMax,$minhashJson,$simhashJson,$cosineJson,""" +
-      s"""$keeperJson,$bpeJson}"""
+      s"""$keeperJson,$bpeJson,$lineJson}"""
     println(json)
     val w = new java.io.PrintWriter("stress_out.json")
     try w.println(json) finally w.close()

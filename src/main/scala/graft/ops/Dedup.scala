@@ -55,20 +55,30 @@ object Dedup {
     * Scale shape: two shuffles, both on the line's 16-byte md5 digest
     * (the same collision-negligible content key as [[exact]] — line
     * text itself is never the shuffle key). The doc-frequency count is
-    * map-side combinable; the boilerplate set joins back hash-to-hash;
-    * reassembly groups by doc_id with a collect_list bounded by the
-    * DOCUMENT's own line count (the same per-doc bound every narrow
-    * kernel here has — no corpus-sized aggregation row anywhere).
+    * map-side combinable (its first stage keys by (digest, doc_id), so
+    * even a line present in EVERY document never funnels one reducer —
+    * stress-evidenced degenerate at n=300k in StressBench `line_dedup`);
+    * the boilerplate set joins back hash-to-hash — broadcast while the
+    * boilerplate set is small (AQE's call), and when a huge boilerplate
+    * set forces a sort-merge join, a corpus-wide line's digest is a
+    * skewed key that AQE's skew-join split re-plans at runtime (the
+    * same mechanism LinkSpec/OpsSpec assert for the alias and cell
+    * joins). Reassembly groups by doc_id with a collect_list bounded
+    * by the DOCUMENT's own line count (the same per-doc bound every
+    * narrow kernel here has — no corpus-sized aggregation row
+    * anywhere).
     *
     * @return (doc_id, text_clean, n_removed) for every document; a doc
-    *         whose lines were ALL boilerplate keeps an empty text_clean
-    *         (the row must surface, not vanish).
+    *         whose lines were ALL boilerplate — or whose text is NULL —
+    *         keeps an empty text_clean (the row must surface, not
+    *         vanish: posexplode_outer keeps the null-text row as one
+    *         null line, which the reassembly filters out).
     */
   def removeBoilerplateLines(spark: SparkSession, docs: DataFrame,
       minDocs: Long = 3, sep: String = "\n",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val lines = docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        posexplode_outer(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "line")))
       .withColumn("h", md5(col("line")))
     val hot = lines.groupBy("h")
@@ -82,7 +92,8 @@ object Dedup {
         array_join(
           transform(
             array_sort(collect_list(
-              when(!col("bp"), struct(col("pos"), col("line"))))),
+              when(!col("bp") && col("line").isNotNull,
+                struct(col("pos"), col("line"))))),
             s => s("line")),
           sep).as("text_clean"),
         sum(when(col("bp"), 1L).otherwise(0L)).as("n_removed"))

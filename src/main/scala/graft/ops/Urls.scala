@@ -39,7 +39,9 @@ object Urls {
   private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val authorityRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   private val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-  private val trackingRe = "^(utm_[^=]*|fbclid|gclid)="
+  // (=|$): a VALUELESS tracking param ('?fbclid') must drop exactly
+  // like '?fbclid=x', or the two crawl variants get different keys
+  private val trackingRe = "^(utm_[^=]*|fbclid|gclid)(=|$)"
 
   /** Lowercased scheme; empty string when the URL has none. */
   def scheme(url: Column): Column = lower(regexp_extract(url, schemeRe, 1))
@@ -60,7 +62,10 @@ object Urls {
 
   /** Sorted, tracking-stripped query parameters as an array. */
   private def keptParams(url: Column): Column = {
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // the '?' must precede any '#': "\?([^#]*)" alone would match a
+    // '?' INSIDE the fragment and resurrect fragment content as
+    // phantom query params, violating rule 6
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     array_sort(filter(split(query, "&"),
       p => p =!= "" && !p.rlike(trackingRe)))
   }

@@ -53,16 +53,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // higher-order lambdas (filter/array_sort), which Spark evaluates
     // as interpreted Catalyst expressions OUTSIDE codegen — so for it
     // the pinned property is no-UDF/no-python, not span coverage
-    for (name <- Seq("doc_split_assign", "doc_quality")) {
+    for (name <- Seq("doc_url_canonical", "doc_split_assign", "doc_quality")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // finalize the adaptive plan — codegen `*(n)`
       // markers only appear once isFinalPlan=true
       val plan = df.queryExecution.executedPlan.toString
-      assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
-        s"$name lost whole-stage codegen:\n$plan")
-    }
-    for (name <- Seq("doc_url_canonical", "doc_split_assign", "doc_quality")) {
-      val plan = planOf(name)
+      if (name != "doc_url_canonical")
+        assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+          s"$name lost whole-stage codegen:\n$plan")
       assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython") &&
         !plan.contains("ArrowEvalPython"),
         s"$name must stay UDF-free:\n$plan")

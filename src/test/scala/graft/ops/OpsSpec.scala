@@ -213,6 +213,14 @@ class OpsSpec extends AnyFunSuite {
     val got2 = Dedup.removeBoilerplateLines(spark, dot, minDocs = 3, sep = ".")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got2 == Map(1L -> "a.b", 2L -> "c", 3L -> ""))
+    // NULL-text docs surface (empty clean text, 0 removed) — they must
+    // not vanish from the per-doc output
+    val withNull = Seq((1L, "x\ny"), (2L, "x"), (3L, "x"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got3 = Dedup.removeBoilerplateLines(spark, withNull, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got3 == Map(1L -> (("y", 1L)), 2L -> (("", 1L)),
+      3L -> (("", 1L)), 4L -> (("", 0L))))
   }
 
   test("minhash-lsh hot bucket: bounded chain pairs, connected, counted") {

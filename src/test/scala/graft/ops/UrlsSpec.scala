@@ -30,6 +30,13 @@ class UrlsSpec extends AnyFunSuite {
     // param sort is byte-wise and stable under input order
     assert(canon("http://h.co/p?b=2&a=1", "http://h.co/p?a=1&b=2") ==
       Seq(Some("http://h.co/p?a=1&b=2"), Some("http://h.co/p?a=1&b=2")))
+    // a '?' INSIDE the fragment is fragment content, not a query —
+    // it must vanish with the fragment, never become phantom params
+    assert(canon("http://h.com/p#section?utm_source=x&a=1") ==
+      Seq(Some("http://h.com/p")))
+    // valueless tracking params drop exactly like valued ones
+    assert(canon("http://h.com/p?fbclid", "http://h.com/p?fbclid=x") ==
+      Seq(Some("http://h.com/p"), Some("http://h.com/p")))
   }
 
   test("schemeless input canonicalizes to NULL, never a mangled guess") {
