@@ -451,6 +451,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing (concat-and-chunk, ops.Packing): docs in doc_id
+    // order form one token stream cut into 512-token training
+    // sequences, docs splitting across boundaries. Token count = word
+    // count (closed-form both sides); the distributed prefix sum must
+    // equal DuckDB's sequential window cumsum exactly, row for row.
+    "doc_pack_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .as("n_tokens"))
+      graft.ops.Packing.chunkAssignments(s, docs, seqLen = 512)
+        .orderBy("doc_id", "seq_id")
+    }),
+
     // C4-style line-level corpus dedup: every doc gets a unique intro
     // line and a unique body line (kept), plus one boilerplate line
     // planted in ALL docs and one in every even doc (both over the
@@ -1575,6 +1588,26 @@ object SparkEntry {
       """SELECT doc_id,
         |CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_pack_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id, n, off,
+        |    UNNEST(generate_series(CAST(off // 512 AS BIGINT),
+        |      CAST((off + n - 1) // 512 AS BIGINT))) AS seq_id
+        |  FROM c WHERE n > 0)
+        |SELECT doc_id, seq_id,
+        |  CAST(GREATEST(off, seq_id * 512) - off AS BIGINT) AS tok_from,
+        |  CAST(LEAST(off + n, (seq_id + 1) * 512) - off AS BIGINT) AS tok_to
+        |FROM x ORDER BY doc_id, seq_id""".stripMargin,
     "doc_line_dedup" ->
       """SELECT doc_id,
         |  'intro ' || doc_id || chr(10) || doc_id || ':' || text AS text_clean,
