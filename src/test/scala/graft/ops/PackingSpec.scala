@@ -53,5 +53,12 @@ class PackingSpec extends AnyFunSuite {
       docs.orderBy(rand(17)).repartition(7), 4))
     assert(a == b, "packing must depend only on (doc_id, n_tokens)")
     assert(!a.exists(_._1 == 1L), "zero-token docs contribute no chunk")
+    // NULL token counts behave like 0 (no NPE, no chunk); NULL ids drop
+    val withNulls = Seq((java.lang.Long.valueOf(5L), java.lang.Long.valueOf(7L)),
+      (java.lang.Long.valueOf(6L), null.asInstanceOf[java.lang.Long]),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(9L)))
+      .toDF("doc_id", "n_tokens")
+    val c = rowsOf(Packing.chunkAssignments(spark, withNulls, 4))
+    assert(c.map(_._1).distinct == Seq(5L))
   }
 }
