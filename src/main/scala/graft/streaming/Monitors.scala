@@ -9,9 +9,10 @@ import graft.spark.Page
 /** Streaming operators over the crawl stream beyond plain ingest:
   * event-time windowed aggregation with a watermark (late-page
   * tolerance), and custom keyed state via `flatMapGroupsWithState`
-  * (first-seen URL dedup across micro-batches — streaming exact dedup
-  * for a training-data pipeline, with state expiry so the key space
-  * cannot grow unboundedly).
+  * (first-seen dedup across micro-batches keyed by raw url, CANONICAL
+  * url, exact content hash, or simhash — streaming dedup for a
+  * training-data pipeline, with state expiry so the key space cannot
+  * grow unboundedly).
   */
 object Monitors {
 
@@ -42,6 +43,25 @@ object Monitors {
   def firstSeenPages(spark: SparkSession, pages: Dataset[Page],
       stateTimeout: Option[String] = Some("30 minutes")): Dataset[Page] =
     firstSeenBy(spark, pages, _.url, stateTimeout)
+
+  /** First-seen keyed by the CANONICAL url (graft.ops.Urls.canonicalize
+    * — the exact Column kernel the batch path uses, not a re-derived
+    * Scala copy that could drift): the same page re-crawled under
+    * scheme/host-case, default-port, userinfo, fragment, tracking-param
+    * or param-order variants dedups at INGEST, before any content work.
+    * Schemeless/malformed urls canonicalize to NULL and fall back to
+    * the raw url as their key (each such page is its own key — the
+    * stream must not collapse all malformed urls into one).
+    */
+  def firstSeenByCanonicalUrl(spark: SparkSession, pages: Dataset[Page],
+      stateTimeout: Option[String] = Some("30 minutes")): Dataset[Page] = {
+    import spark.implicits._
+    val keyed = pages
+      .select(struct(pages.columns.map(col): _*).as("_1"),
+        coalesce(graft.ops.Urls.canonicalize(col("url")), col("url")).as("_2"))
+      .as[(Page, String)]
+    firstSeenKeyed(spark, keyed, stateTimeout)
+  }
 
   /** Streaming EXACT-content suppression at ingest: first-seen keyed by
     * the md5 of the page text — no false drops (only byte-identical
@@ -87,12 +107,22 @@ object Monitors {
       key: Page => String,
       stateTimeout: Option[String]): Dataset[Page] = {
     import spark.implicits._
+    firstSeenKeyed(spark, pages.map(p => (p, key(p))), stateTimeout)
+  }
+
+  /** The shared keyed-state core behind every first-seen variant:
+    * (page, key) pairs in, first page per key out, across batches.
+    */
+  private def firstSeenKeyed(spark: SparkSession,
+      keyed: Dataset[(Page, String)],
+      stateTimeout: Option[String]): Dataset[Page] = {
+    import spark.implicits._
     val conf =
       if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    pages.groupByKey(key)
+    keyed.groupByKey(_._2)
       .flatMapGroupsWithState[Boolean, Page](OutputMode.Append(), conf) {
-        case (_, it: Iterator[Page], state: GroupState[Boolean]) =>
+        case (_, it: Iterator[(Page, String)], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
@@ -101,11 +131,11 @@ object Monitors {
             // it, or re-crawled keys would never expire and the state
             // bound would be lost
             stateTimeout.foreach(state.setTimeoutDuration)
-            Iterator.empty // url already emitted in an earlier batch
+            Iterator.empty // key already emitted in an earlier batch
           } else {
             state.update(true)
             stateTimeout.foreach(state.setTimeoutDuration)
-            it.take(1) // first occurrence within this batch wins too
+            it.take(1).map(_._1) // first occurrence within this batch wins too
           }
       }
   }

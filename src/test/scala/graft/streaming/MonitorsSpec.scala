@@ -15,6 +15,36 @@ class MonitorsSpec extends AnyFunSuite {
   private def page(url: String, ts: String): Page =
     Page(url, Timestamp.valueOf(ts), Array.emptyByteArray, "", "en")
 
+  test("firstSeenByCanonicalUrl: crawl variants of one page suppressed across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = Monitors.firstSeenByCanonicalUrl(spark, in.toDS(),
+        stateTimeout = None)
+      .writeStream.format("memory").queryName("canon_seen")
+      .outputMode("append").start()
+    try {
+      in.addData(page("HTTP://Ex.com/page?b=2&a=1", "2026-01-01 10:00:00"))
+      q.processAllAvailable()
+      // four re-crawl variants of the SAME canonical page + one new page
+      in.addData(
+        page("http://ex.com:80/page?a=1&b=2", "2026-01-01 10:01:00"),
+        page("http://user@ex.com/page?a=1&b=2&utm_source=f", "2026-01-01 10:02:00"),
+        page("http://ex.com/page?b=2&a=1#sec", "2026-01-01 10:03:00"),
+        page("http://ex.com/other", "2026-01-01 10:04:00"))
+      q.processAllAvailable()
+      // malformed (schemeless) urls key on the RAW url — distinct ones
+      // must NOT collapse into one
+      in.addData(page("not a url one", "2026-01-01 10:05:00"),
+        page("not a url two", "2026-01-01 10:06:00"))
+      q.processAllAvailable()
+      val urls = spark.table("canon_seen").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(urls == Seq("HTTP://Ex.com/page?b=2&a=1", "http://ex.com/other",
+        "not a url one", "not a url two"))
+    } finally q.stop()
+  }
+
   test("hostWindowCounts: event-time windows count per host; late data dropped") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
