@@ -451,6 +451,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Dataset-card stats (ops.CorpusStats): one summary row with EXACT
+    // distributed quantiles — rank fetch over a range partition via the
+    // same prefix-sum shape as packing, linear interpolation at
+    // r = p*(n-1), the definition DuckDB's quantile_cont shares (which
+    // is what lets the oracle cross-check a quantile at all;
+    // approx_percentile's t-digest could never hash-match).
+    "doc_corpus_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_tokens"))
+      graft.ops.CorpusStats.tokenCard(s, d)
+        .select("n_docs", "total_tokens", "min_tokens", "max_tokens",
+          "p50_tokens", "p90_tokens")
+    }),
+
     // Sequence packing (concat-and-chunk, ops.Packing): docs in doc_id
     // order form one token stream cut into 512-token training
     // sequences, docs splitting across boundaries. Token count = word
@@ -1588,6 +1603,18 @@ object SparkEntry {
       """SELECT doc_id,
         |CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_corpus_stats" ->
+      """WITH d AS (
+        |  SELECT CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |    x -> LENGTH(x) > 0)) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(n) AS BIGINT) AS min_tokens,
+        |  CAST(MAX(n) AS BIGINT) AS max_tokens,
+        |  CAST(quantile_cont(n, 0.5) AS DOUBLE) AS p50_tokens,
+        |  CAST(quantile_cont(n, 0.9) AS DOUBLE) AS p90_tokens
+        |FROM d""".stripMargin,
     "doc_pack_chunks" ->
       """WITH d AS (
         |  SELECT doc_id,
