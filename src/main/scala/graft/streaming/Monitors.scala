@@ -135,7 +135,15 @@ object Monitors {
           } else {
             state.update(true)
             stateTimeout.foreach(state.setTimeoutDuration)
-            it.take(1).map(_._1) // first occurrence within this batch wins too
+            // deterministic same-batch winner: groupByKey's iterator
+            // order is shuffle-arbitrary, and canonical-url keying
+            // makes same-key collisions within one micro-batch the
+            // COMMON case (re-crawl variants arriving together) — the
+            // earliest (warc_ts, url) page wins, run-to-run stable.
+            // O(group) time, O(1) state: minBy streams the iterator.
+            Iterator(it.map(_._1).minBy(p =>
+              (Option(p.warc_ts).map(_.getTime).getOrElse(Long.MinValue),
+                p.url)))
           }
       }
   }

@@ -24,7 +24,10 @@ class MonitorsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("canon_seen")
       .outputMode("append").start()
     try {
-      in.addData(page("HTTP://Ex.com/page?b=2&a=1", "2026-01-01 10:00:00"))
+      // SAME-batch variants: the earliest (warc_ts, url) page must win
+      // deterministically (groupByKey order is shuffle-arbitrary)
+      in.addData(page("http://ex.com/page?a=1&b=2&utm_id=z", "2026-01-01 10:00:30"),
+        page("HTTP://Ex.com/page?b=2&a=1", "2026-01-01 10:00:00"))
       q.processAllAvailable()
       // four re-crawl variants of the SAME canonical page + one new page
       in.addData(
