@@ -513,8 +513,11 @@ object SparkEntry {
           WHEN 3 THEN concat('https://ex', doc_id % 7,
             '.net/path?gclid=1&utm_medium=m')
           ELSE concat('not a url ', doc_id) END""").as("url"))
+      // the NATIVE one-pass expression runs here, so the oracle covers
+      // the hot-path kernel; UrlsSpec separately pins it byte-equal to
+      // the column-composition reference
       urls.select(col("doc_id"),
-        graft.ops.Urls.canonicalize(col("url")).as("url_canonical"),
+        graft.ops.Urls.canonicalizeNative(s, col("url")).as("url_canonical"),
         graft.ops.Urls.host(col("url")).as("host"),
         graft.ops.Urls.scheme(col("url")).as("scheme"))
         .orderBy("doc_id")

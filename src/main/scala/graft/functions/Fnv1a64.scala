@@ -78,6 +78,10 @@ object GraftFunctions {
       "ivf_cell", { exprs =>
         arity("ivf_cell", 2)(exprs); IvfCell(exprs.head, exprs(1))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "canonical_url", { exprs =>
+        arity("canonical_url", 1)(exprs); CanonicalUrl(exprs.head)
+      }, "built-in")
   }
 
   def fnv1a64(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {

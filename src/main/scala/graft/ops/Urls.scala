@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * Everything here is PURE COLUMN COMPOSITION over built-in functions
   * (`regexp_extract` / `substring_index` / higher-order `filter` /
   * `array_sort`): no UDF, no Python eval, no per-row JVM round trip.
-  * (The higher-order param-filter/sort lambdas are Catalyst
-  * expressions that evaluate interpreted — Spark's lambda nodes don't
-  * join whole-stage codegen — but the scalar regexp/string kernels
-  * do; PlanShapeSpec pins the no-UDF property.) Every rule is
+  * This column form is the REFERENCE semantics; hot full-corpus passes
+  * use [[canonicalizeNative]] (the `canonical_url` native expression —
+  * one pass, zero regex evaluations, full whole-stage codegen; its
+  * interpreted-lambda-free plan is what PlanShapeSpec asserts, and
+  * UrlsSpec pins the two byte-equal). Every rule is
   * formula-replicable in the DuckDB oracle (`doc_url_canonical`), the
   * same discipline as the `kg_predicates` quirk replicas.
   *
@@ -70,8 +71,22 @@ object Urls {
       p => p =!= "" && !p.rlike(trackingRe)))
   }
 
+  /** The canonical form via the NATIVE one-pass expression
+    * ([[graft.functions.CanonicalUrl]]) — same rules and output as
+    * [[canonicalize]] (byte-equality asserted over edges + fuzz in
+    * UrlsSpec), but zero per-row regex evaluations and no interpreted
+    * lambda nodes: the version for full-corpus passes. Registers the
+    * function on the column's eventual session via the given one.
+    */
+  def canonicalizeNative(spark: org.apache.spark.sql.SparkSession,
+      url: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function("canonical_url", url)
+  }
+
   /** The canonical form under the rules above; NULL for schemeless
-    * input.
+    * input. REFERENCE implementation (pure built-in column
+    * composition) — [[canonicalizeNative]] is the hot-path twin.
     */
   def canonicalize(url: Column): Column = {
     val sch = scheme(url)

@@ -47,20 +47,18 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("column-only kernels: codegen spans present, no UDF or python eval") {
-    // doc_split_assign / doc_quality are scalar-expression-only and
-    // must sit inside whole-stage codegen spans (the `*(n)` markers in
-    // the final adaptive plan); doc_url_canonical additionally uses
-    // higher-order lambdas (filter/array_sort), which Spark evaluates
-    // as interpreted Catalyst expressions OUTSIDE codegen — so for it
-    // the pinned property is no-UDF/no-python, not span coverage
+    // all three are scalar-expression-only and must sit inside
+    // whole-stage codegen spans (the `*(n)` markers in the final
+    // adaptive plan) — doc_url_canonical included, now that the
+    // native canonical_url expression replaced the interpreted
+    // higher-order lambdas in its hot projection
     for (name <- Seq("doc_url_canonical", "doc_split_assign", "doc_quality")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // finalize the adaptive plan — codegen `*(n)`
       // markers only appear once isFinalPlan=true
       val plan = df.queryExecution.executedPlan.toString
-      if (name != "doc_url_canonical")
-        assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
-          s"$name lost whole-stage codegen:\n$plan")
+      assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+        s"$name lost whole-stage codegen:\n$plan")
       assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython") &&
         !plan.contains("ArrowEvalPython"),
         s"$name must stay UDF-free:\n$plan")

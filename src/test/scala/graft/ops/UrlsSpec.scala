@@ -52,6 +52,41 @@ class UrlsSpec extends AnyFunSuite {
     assert(got == Seq(("https", "www.ex.com"), ("http", "h.io"), ("", "")))
   }
 
+  test("native canonical_url is byte-equal to the column reference (edges + fuzz)") {
+    import spark.implicits._
+    // every documented edge plus a component-combinatorial fuzz corpus
+    // (2,592 urls): schemes valid/invalid/cased, authorities with
+    // userinfo/ports/multi-@/multi-colon/empty, paths, tracking and
+    // empty and duplicate params, fragments with embedded '?'
+    val edges = Seq(
+      "HTTPS://WWW.Ex.COM:443/a?utm_source=x&b=2&a=1#f",
+      "http://user:pw@host.org:8080/p/?z=9&fbclid=abc",
+      "http://h.com:80/x", "https://h.com:80/x", "http://EX.com:80",
+      "https://ex.net/p?gclid=1&utm_medium=m", "http://h.co/p?b=2&a=1",
+      "http://h.com/p#section?utm_source=x&a=1", "http://h.com/p?fbclid",
+      "not a url", "", "www.ex.com/path", "http:///p", "://x",
+      "http://ex.com:", "http://h.com/p?a=\u00e9&\u00df=1")
+    val schemes = Seq("http", "HTTPS", "ftp+x.2", "1bad", "", "ht tp")
+    val auths = Seq("Ex.com", "user:pw@Ex.com:8080", "ex.com:80",
+      "ex.com:443", "a@b@C.org:1:2", "")
+    val paths = Seq("", "/", "/P/q", "/p/")
+    val queries = Seq("", "?b=2&a=1", "?utm_source=x", "?fbclid",
+      "?a=1&a=1&", "?&&x=1")
+    val frags = Seq("", "#f", "#sec?x=1")
+    val fuzz = for (s <- schemes; a <- auths; p <- paths; q <- queries;
+      f <- frags) yield s"$s://$a$p$q$f"
+    val both = (edges ++ fuzz).toDF("url").select(
+      col("url"),
+      Urls.canonicalize(col("url")).as("ref"),
+      Urls.canonicalizeNative(spark, col("url")).as("nat"))
+      .collect()
+    both.foreach { r =>
+      assert(Option(r.getString(1)) == Option(r.getString(2)),
+        s"native != reference for '${r.getString(0)}': " +
+          s"${r.getString(1)} vs ${r.getString(2)}")
+    }
+  }
+
   test("canonical form is a working dedup key across crawl variants") {
     import spark.implicits._
     // the same page crawled 4 ways + one genuinely different page
