@@ -17,13 +17,21 @@ import org.apache.spark.sql.functions._
   * CONCURRENCY CONTRACT: one runner per outDir at a time. run_seq is
   * assigned by read-then-write over the shared lineage dir (max
   * recorded + 1, floored by this runner's clock), so two runners
-  * appending the SAME stage concurrently can mint the same run_seq and
-  * [[outputRowsOf]] would then sum both appends. Sequential resumes —
-  * including from a different host with a skewed clock — are exactly
-  * what the scheme is built for; run concurrent drivers against
-  * separate outDirs.
+  * appending the SAME stage concurrently can mint the same run_seq.
+  * That violation is now DETECTED, not silently summed: every runner
+  * stamps its rows with a per-instance `runner_nonce`, and
+  * [[outputRowsOf]] reports unknown (-1) when the latest run_seq of a
+  * stage mixes nonces — mirroring the legacy run_seq-0 guard.
+  * Sequential resumes — including from a different host with a skewed
+  * clock — are exactly what the scheme is built for; run concurrent
+  * drivers against separate outDirs.
   */
 final class Stages(spark: SparkSession, base: String) {
+
+  // per-runner identity: stamps every lineage row this instance
+  // appends, so a concurrent-writer collision on run_seq is visible
+  // afterwards (mixed nonces within one run) instead of double-counted
+  private val runnerNonce: String = java.util.UUID.randomUUID().toString
 
   private def successExists(dir: String): Boolean = {
     // Hadoop FS so hdfs://, s3a:// etc. resume correctly
@@ -44,9 +52,16 @@ final class Stages(spark: SparkSession, base: String) {
       if (raw.columns.contains("skipped_rows"))
         raw.withColumn("skipped_rows", coalesce(col("skipped_rows"), lit(0L)))
       else raw.withColumn("skipped_rows", lit(0L))
-    if (withSkip.columns.contains("run_seq"))
-      withSkip.withColumn("run_seq", coalesce(col("run_seq"), lit(0L)))
-    else withSkip.withColumn("run_seq", lit(0L))
+    val withSeq =
+      if (withSkip.columns.contains("run_seq"))
+        withSkip.withColumn("run_seq", coalesce(col("run_seq"), lit(0L)))
+      else withSkip.withColumn("run_seq", lit(0L))
+    // pre-nonce rows coalesce to ONE constant (never a false mixed-
+    // nonce ambiguity on resumed old outDirs)
+    if (withSeq.columns.contains("runner_nonce"))
+      withSeq.withColumn("runner_nonce",
+        coalesce(col("runner_nonce"), lit("legacy")))
+    else withSeq.withColumn("runner_nonce", lit("legacy"))
   }
 
   /** output_rows totals of stages computed by THIS runner — recorded
@@ -100,8 +115,14 @@ final class Stages(spark: SparkSession, base: String) {
           .join(mine.agg(max(col("run_seq")).as("run_seq")), Seq("run_seq"))
           .agg(sum(col("output_rows")), max(col("run_seq")),
             count(lit(1)), countDistinct(col("partition_id")),
-            sum(when(col("partition_id") === -1, 1L).otherwise(0L))).collect()
+            sum(when(col("partition_id") === -1, 1L).otherwise(0L)),
+            countDistinct(col("runner_nonce"))).collect()
         if (rows.isEmpty || rows(0).isNullAt(0)) -1L
+        // two concurrent runners that minted the SAME run_seq (the
+        // documented contract violation): their appends are
+        // indistinguishable by sequence but not by nonce — report
+        // unknown rather than the sum of both runs
+        else if (rows(0).getLong(5) > 1L) -1L
         else {
           // legacy guard: every pre-upgrade append coalesced to
           // run_seq 0, so a stage force-recomputed more than once back
@@ -165,7 +186,8 @@ final class Stages(spark: SparkSession, base: String) {
           lit(skipRows).as("skipped_rows"),
           col("output_rows"),
           lit(wallMs).as("wall_ms"),
-          lit(math.max(maxRunSeqOf(name) + 1, nextRunSeq())).as("run_seq"))
+          lit(math.max(maxRunSeqOf(name) + 1, nextRunSeq())).as("run_seq"),
+          lit(runnerNonce).as("runner_nonce"))
         .coalesce(1)
         .write.mode("append").parquet(lineagePath)
       out

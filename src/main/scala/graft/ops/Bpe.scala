@@ -17,8 +17,11 @@ import scala.collection.mutable
   * the DRIVER over a BOUNDED word-count table — the same shape as a
   * KMeans fit: the distributed part is one word-count aggregation
   * (map-side combined, shuffles only distinct words), the top
-  * `maxWords` by frequency are collected (a few MB at any corpus
-  * size; Zipf makes the tail irrelevant to pair counts), and the
+  * `maxWords` by frequency are collected (tens of MB at the default
+  * maxWords=10^6 — the strings plus the per-symbol expansion and the
+  * pair-count/occurrence indexes; stress-tested at 200k words under a
+  * 2 GiB heap, size the driver accordingly toward the cap; Zipf makes
+  * the tail irrelevant to pair counts), and the
   * merge loop maintains pair counts INCREMENTALLY through an
   * occurrence index (each merge touches only the words containing the
   * merged pair — the classic Sennrich-implementation optimization).
@@ -34,6 +37,27 @@ import scala.collection.mutable
   * the Zipf distribution exactly like the BiLSTM char-repr cache.
   */
 object Bpe {
+
+  /** Initial symbol segmentation of a word: one symbol per Unicode
+    * CODEPOINT, not per UTF-16 char — an astral-plane character
+    * (emoji, rare CJK, math alphanumerics) must enter training and
+    * apply as one symbol, never as two unpaired lone surrogates,
+    * which would be invalid strings if ever surfaced as tokens and
+    * would make token counts on non-BMP text diverge from any
+    * codepoint-level BPE reference.
+    */
+  private[ops] def codepointSyms(word: String): Array[String] = {
+    val out = new Array[String](word.codePointCount(0, word.length))
+    var i = 0
+    var j = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out(j) = word.substring(i, i + n)
+      i += n
+      j += 1
+    }
+    out
+  }
 
   /** Learn `numMerges` merges from the corpus. Returns the ranked
     * merge table (first = learned first = applied first). Stops early
@@ -54,7 +78,7 @@ object Bpe {
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(maxWords)
       .collect()
-      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      .map(r => (codepointSyms(r.getString(0)), r.getLong(1)))
 
     val words = wordCounts.map(_._1)
     val counts = wordCounts.map(_._2)
@@ -140,7 +164,7 @@ object Bpe {
     * OOV path is "fall back to characters", never a failure.
     */
   def tokenizeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = codepointSyms(word)
     var merged = true
     while (merged && syms.length > 1) {
       var bestRank = Int.MaxValue

@@ -108,6 +108,40 @@ class StagesLineageSpec extends AnyFunSuite {
     assert(st.outputRowsOf("old_empty") == 0L)
   }
 
+  test("same run_seq from two concurrent runners reports unknown, not the sum") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("stages_race").toString
+    val st = new Stages(spark, base)
+    // simulate the documented contract violation: two runners raced
+    // the read-then-write and minted the SAME run_seq — their appends
+    // carry different runner nonces
+    for (nonce <- Seq("runner-a", "runner-b"))
+      spark.range(1).select(
+        lit("raced").as("stage"), lit(0).as("partition_id"),
+        lit(10L).as("input_rows"), lit(0L).as("skipped_rows"),
+        lit(10L).as("output_rows"), lit(5L).as("wall_ms"),
+        lit(77L).as("run_seq"), lit(nonce).as("runner_nonce"))
+        .write.mode("append").parquet(st.lineagePath)
+    assert(st.outputRowsOf("raced") == -1L)
+    // one runner's multi-partition append stays summable (one nonce)
+    spark.range(2).select(
+      lit("clean").as("stage"), col("id").cast("int").as("partition_id"),
+      lit(4L).as("input_rows"), lit(0L).as("skipped_rows"),
+      lit(4L).as("output_rows"), lit(5L).as("wall_ms"),
+      lit(88L).as("run_seq"), lit("runner-a").as("runner_nonce"))
+      .write.mode("append").parquet(st.lineagePath)
+    assert(st.outputRowsOf("clean") == 8L)
+    // a later SEQUENTIAL run by a different runner wins cleanly: the
+    // max run_seq has one nonce even though the stage history has two
+    spark.range(1).select(
+      lit("raced").as("stage"), lit(0).as("partition_id"),
+      lit(3L).as("input_rows"), lit(0L).as("skipped_rows"),
+      lit(3L).as("output_rows"), lit(5L).as("wall_ms"),
+      lit(99L).as("run_seq"), lit("runner-c").as("runner_nonce"))
+      .write.mode("append").parquet(st.lineagePath)
+    assert(new Stages(spark, base).outputRowsOf("raced") == 3L)
+  }
+
   test("force-recomputed stage never double-counts across lineage appends") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("stages_recompute").toString

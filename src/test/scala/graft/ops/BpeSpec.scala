@@ -57,6 +57,42 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.tokenizeWord("", ranks).toSeq == Seq.empty)
   }
 
+  test("astral-plane codepoints are single symbols, never lone surrogates") {
+    import spark.implicits._
+    // U+1D400 MATHEMATICAL BOLD CAPITAL A / U+1D401 B — each is TWO
+    // UTF-16 chars; a char-level split would train on unpaired
+    // surrogates (invalid strings as tokens, counts diverging from
+    // any codepoint-level BPE reference)
+    val bA = new String(Character.toChars(0x1D400))
+    val bB = new String(Character.toChars(0x1D401))
+    val word = bA + bB
+    assert(Bpe.codepointSyms(word).toSeq == Seq(bA, bB))
+    assert(Bpe.codepointSyms("ab" + bA).toSeq == Seq("a", "b", bA))
+    assert(Bpe.codepointSyms("").toSeq == Seq.empty)
+    // training over repeated astral words learns the codepoint pair —
+    // every learned symbol must be a well-formed string (no symbol
+    // starts or ends mid-surrogate-pair)
+    val docs = Seq.tabulate(4)(i => (i.toLong, s"$word $word ab")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(spark, docs, numMerges = 1)
+    assert(merges == Seq((bA, bB)))
+    def wellFormed(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1))) return false
+          i += 2
+        } else if (Character.isLowSurrogate(c)) return false
+        else i += 1
+      }
+      true
+    }
+    val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val toks = Bpe.tokenizeWord(word + "x" + bA, ranks)
+    assert(toks.toSeq == Seq(word, "x", bA)) // merged pair + OOV codepoint fallback
+    assert(toks.forall(wellFormed))
+  }
+
   test("fixed point: enough merges collapse every training word; counts memoized kernel") {
     import spark.implicits._
     // 4+2+6+6 = sum(len-1) = 18 merges suffice; ask for far more and
