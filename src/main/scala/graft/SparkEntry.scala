@@ -496,6 +496,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Cross-document exact-substring dedup (Lee et al. 2022 semantics,
+    // ops.SubstringDedup): maximal token spans of length >= k=13
+    // appearing verbatim in >= 2 distinct docs, merged per doc over
+    // overlap/adjacency. The synthetic corpus genuinely shares long
+    // token runs across docs (small vocab), so the report is
+    // non-trivial; the oracle recomputes it gram-by-gram in SQL.
+    "doc_substring_dedup" -> ((s, dir) => {
+      graft.ops.SubstringDedup.duplicatedSpans(s, t(s, dir, "documents"), k = 13)
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization (ops.Urls — pure codegen column kernel, the
     // crawl-side dedup key): five planted variant shapes per doc_id
     // (case/port/userinfo/tracking-params/fragment noise, plus a
@@ -1643,6 +1654,45 @@ object SparkEntry {
         |  'intro ' || doc_id || chr(10) || doc_id || ':' || text AS text_clean,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_substring_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |pos AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 13 + 2)) AS s
+        |  FROM d WHERE len(toks) >= 13),
+        |grams AS (
+        |  SELECT doc_id, s, array_to_string(toks[s : s + 12], ' ') AS gram
+        |  FROM pos),
+        |dup AS (
+        |  SELECT gram FROM grams GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (
+        |  SELECT g.doc_id, g.s, g.s + 12 AS e
+        |  FROM grams g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1) + 1 THEN 1 ELSE 0 END AS ni
+        |  FROM hits),
+        |grp AS (
+        |  SELECT doc_id, s, e,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) AS grp_id
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, grp_id, min(s) AS ss, max(e) AS ee
+        |  FROM grp GROUP BY doc_id, grp_id),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+        |    CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d0.doc_id,
+        |  CAST(coalesce(a.dup_spans, 0) AS BIGINT) AS dup_spans,
+        |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        |FROM documents d0 LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "doc_url_canonical" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS v,
