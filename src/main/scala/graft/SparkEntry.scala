@@ -1125,6 +1125,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Transformer-branch kernels oracled end-to-end (models/attention
+    // .py:47-98,189-290 formulas; the reference's own transformer
+    // branch is dead code, so this is formula-parity integration):
+    // token vectors [1, 1000*plant] + elementwise-masked sinusoidal
+    // pos encodings, identity-projected 2-head self-attention. The
+    // plant channel saturates (non-plant keys are exactly 0 -> key-
+    // masked; non-plant queries are 0 -> post-softmax zeroed), so the
+    // post-residual layer norm sends plants to +1 and everything else
+    // to -1 on channel 1 — counts equal the kg_bilstm_decode position
+    // formula.
+    "kg_transformer_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.tag.{Attention, Transformer}
+      val dense = Attention.Dense(
+        Array(Array(1f, 0f), Array(0f, 1f)), Array(0f, 0f))
+      val gamma = Array(1.0, 1.0); val beta = Array(0.0, 0.0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val n = text.split(" ").length
+          val inputs: Array[Array[Double]] = Array.tabulate(n)(i =>
+            Array(1.0, if (i % 13 == 7) 1000.0 else 0.0))
+          val pe = Transformer.posEmbeddings(inputs, maxlen = 1 << 20)
+          val x = Array.tabulate(n)(t0 =>
+            Array(inputs(t0)(0) + pe(t0)(0), inputs(t0)(1) + pe(t0)(1)))
+          val out = Transformer.multiHeadAttention(x, dense, 2, gamma, beta)
+          (id, out.count(_(1) > 0.0).toLong)
+        }
+        .toDF("doc_id", "n_entity_tags")
+        .orderBy("doc_id")
+    }),
+
     // S1 WARC source oracled end-to-end: documents -> WARC response
     // records (HTTP head + Content-Length framing) -> Warc record
     // parser -> pages -> the full DOM extraction kernel; per-doc token
@@ -1390,6 +1422,14 @@ object SparkEntry {
     // Same planted-position closed form as kg_bilstm_decode: the
     // attention stack fires > 5 exactly on the i % 13 == 7 plants.
     "kg_attention_decode" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 8
+        |       THEN (LEN(STRING_SPLIT(text, ' ')) - 8) // 13 + 1
+        |       ELSE 0 END AS BIGINT) AS n_entity_tags
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Saturating-plant closed form again: the masked transformer stack
+    // sends exactly the i % 13 == 7 plants to +1 on channel 1.
+    "kg_transformer_decode" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 8
         |       THEN (LEN(STRING_SPLIT(text, ' ')) - 8) // 13 + 1
