@@ -1209,8 +1209,52 @@ object SparkEntry {
           sr.tkns.mkString(" ")))
         .toDF("doc_id", "n_tokens", "text_rebuilt")
         .orderBy("doc_id")
+    }),
+
+    // §2.8 streaming <-> batch dedup equivalence, oracled: the corpus
+    // replayed as doc_id-ordered micro-batches through the keyed-state
+    // first-seen CONTENT dedup (Monitors.firstSeenByContent,
+    // flatMapGroupsWithState) must emit exactly the batch first-seen
+    // set — min doc_id per distinct text — which DuckDB computes
+    // independently. Arrival order is controlled (contiguous ascending
+    // id ranges), so "first observed" and "min (warc_ts, url)" agree
+    // and the result is deterministic. The driver-side collect is the
+    // REPLAY HARNESS ONLY, bounded by the sf corpus (production ingest
+    // streams from crawl file-drops via IncrementalIngest; MemoryStream
+    // is the only way to pin cross-micro-batch arrival order).
+    "stream_first_seen" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows: Array[(Long, String)] = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.spark.Page]
+      val name = "stream_first_seen_" + streamSeq.incrementAndGet()
+      val q = graft.streaming.Monitors
+        .firstSeenByContent(s, in.toDS(), stateTimeout = None)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 5 + 1)).foreach { chunk =>
+          in.addData(chunk.toSeq.map { case (id, text) =>
+            graft.spark.Page("doc://" + id,
+              new java.sql.Timestamp(id * 1000L),
+              Array.emptyByteArray, text, "en")
+          })
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(name)
+        .select(substring_index(col("url"), "/", -1).cast("long")
+          .as("doc_id"))
+        .orderBy("doc_id")
     })
   )
+
+  // memory-sink names must be unique per invocation within a session
+  // (Bench runs every query 2-3 times)
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. Column names/aliases match the Spark results
@@ -1514,6 +1558,14 @@ object SparkEntry {
         |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
         |text AS text_rebuilt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Batch first-seen: min doc_id per distinct text — the streaming
+    // keyed-state replay must emit exactly this set.
+    "stream_first_seen" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY MD5(COALESCE(text, '')) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "kg_extract_parity" ->
       """SELECT doc_id,
         |CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,

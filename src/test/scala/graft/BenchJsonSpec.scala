@@ -32,6 +32,38 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(root.get("query_samples").isNull && root.get("self_knn").isNull)
   }
 
+  test("noise-floor adjudication: tainted / needsThird / bestOf") {
+    import Bench.{QSample, tainted, needsThird, bestOf}
+    val clean = QSample(1.0, 2.5, 0)
+    assert(!tainted(clean))
+    assert(tainted(QSample(1.0, 4.0, 0)), "load >= 4 taints")
+    assert(tainted(QSample(10.0, 1.0, 3100)), "GC > 30% of wall taints")
+    assert(!tainted(QSample(10.0, 1.0, 2900)))
+    assert(tainted(QSample(0.4, 1.0, 600)), "GC > 500ms floor taints")
+    // expected JIT ordering (run2 faster) on a quiet host: no third
+    assert(!needsThird(QSample(2.0, 2.0, 0), QSample(1.0, 2.0, 0)))
+    // burst during run 2 (slower than the warm-up by >1.5x): third
+    assert(needsThird(QSample(1.0, 2.0, 0), QSample(1.6, 2.0, 0)))
+    // best-of-two tainted: third
+    assert(needsThird(QSample(2.0, 4.5, 0), QSample(2.5, 4.5, 0)))
+    // one failed run alone never forces a third on a clean floor
+    assert(!needsThird(QSample(-1.0, 2.0, 0), QSample(1.0, 2.0, 0)))
+    // bestOf ignores failures; None when everything failed
+    assert(bestOf(Seq(QSample(-1.0, 1.0, 0), clean)).contains(clean))
+    assert(bestOf(Seq(QSample(-1.0, 1.0, 0))).isEmpty)
+  }
+
+  test("jsonLine carries the floor_suspect self-flag") {
+    val fs = """{"suspect":true,"suspect_queries":["q1_agg","doc_langid"]}"""
+    val line = Bench.jsonLine(Map("a" -> 0.5), Map.empty, "/x", "null",
+      "null", "null", "null", fs)
+    val root = mapper.readTree(line)
+    assert(root.get("floor_suspect").get("suspect").asBoolean())
+    assert(root.get("floor_suspect").get("suspect_queries").size() == 2)
+    val def0 = Bench.jsonLine(Map("a" -> 0.5), Map.empty, "/x", "null")
+    assert(mapper.readTree(def0).get("floor_suspect").isNull)
+  }
+
   test("jsonLine carries per-query samples and self-kNN skew telemetry") {
     val samples = """{"a":[{"sec":0.500,"load":1.25,"gc_ms":10},""" +
       """{"sec":0.480,"load":1.10,"gc_ms":0}]}"""

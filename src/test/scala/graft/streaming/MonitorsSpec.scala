@@ -126,4 +126,41 @@ class MonitorsSpec extends AnyFunSuite {
       assert(urls.distinct.length == 75, "no url may be emitted twice")
     } finally q.stop()
   }
+
+  test("streaming simhash first-seen == batch first-seen over the sf corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    // the real sf corpus replayed in doc_id order, plus planted exact
+    // copies of the first 5 docs arriving LAST (under fresh ids) so the
+    // equivalence is provably non-vacuous: those must be suppressed
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val all = docs ++ docs.take(5).map { case (id, t) => (id + 1000000L, t) }
+    // batch arbiter: min doc_id per simhash key (same kernel)
+    val expect: Set[Long] = all
+      .groupBy { case (_, t) =>
+        graft.ops.Dedup.simhash(if (t == null) "" else t) }
+      .map { case (_, g) => g.map(_._1).min }.toSet
+    assert(expect.size < all.length, "plants must collapse somewhere")
+    val in = MemoryStream[Page]
+    val q = Monitors.firstSeenBySimhash(spark, in.toDS(), stateTimeout = None)
+      .writeStream.format("memory").queryName("sf_simhash_eq")
+      .outputMode("append").start()
+    try {
+      all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq.map { case (id, t) =>
+          Page("doc://" + id, new Timestamp(id * 1000L),
+            Array.emptyByteArray, t, "en")
+        })
+        q.processAllAvailable()
+      }
+      val got = spark.table("sf_simhash_eq").collect()
+        .map(r => r.getString(0).substring("doc://".length).toLong).toSet
+      assert(got == expect,
+        s"streaming/batch drift: only-stream=${(got -- expect).take(5)} " +
+          s"only-batch=${(expect -- got).take(5)}")
+    } finally q.stop()
+  }
 }
