@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-decade evidence: the full documents/embeddings query registry
+  * timed at two corpus sizes a DECADE apart (default 5,000 -> 50,000
+  * docs, 2,000 -> 20,000 vectors — the driver's sf0.1 shape and 10x
+  * it), over a synthetic corpus generated ON THE EXECUTORS with
+  * size-PROPORTIONAL duplicate structure (0.2% exact dups, 0.5%
+  * near-dups, 5-lang / 20-source mix, 10-100-token docs; 10
+  * Gaussian-ish clusters in 64-dim float embeddings) so a 10x corpus
+  * means 10x work, not 10x-denser duplicate clusters (replicating the
+  * real table would square pair volumes by construction and measure
+  * the input, not the plan).
+  *
+  * For each query: best-of-2 at 1x (the first pass also JIT-warms the
+  * code paths for everything downstream), one timed pass at 10x, and
+  * an adaptive SECOND 10x sample for any query whose ratio exceeds the
+  * flag threshold — a co-tenant burst must not mint a false
+  * super-linear flag (min is taken). Verdict per query:
+  * ratio = sec_10x / sec_1x, flagged super-linear above
+  * `10 * slack` (slack 1.5 covers partial-agg fan-in and shuffle
+  * constants). Output: ONE JSON line + `scale_decade.json`.
+  *
+  * Exclusions, each documented rather than silently dropped:
+  *  - q1-q6 read the driver's TPC-H tables (no 10x source exists);
+  *  - the `*_exhaustive_*` ANN twins are BY CONSTRUCTION brute-force
+  *    O(probes x corpus) oracle surfaces (their approximate twins are
+  *    the scale path and ARE measured);
+  *  - `ann_self_top1` pins nlist=8 for its oracle, and per-cell work
+  *    is O((n/nlist)^2) — at fixed nlist a 10x corpus is 100x pair
+  *    work BY PARAMETERIZATION, so the registry entry is excluded and
+  *    the op is measured under its documented scale law instead
+  *    (nlist ~ sqrt(n): `ann_self_top1_scaled`), which is how a
+  *    production caller sizes it.
+  */
+object ScaleDecade {
+
+  import graft.corpus.SyntheticCorpus.mix
+
+  private val Vocab: Array[String] = Array(
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "hash", "slow", "group", "agg", "filter",
+    "customer", "stream", "table", "query", "key", "window", "join",
+    "vector", "big", "merge", "data", "the", "a", "index", "page", "cache",
+    "read", "write", "plan", "stage", "task", "shuffle", "row", "spill")
+  private val Langs = Array("en", "en", "en", "en", "zh", "de", "fr", "es")
+
+  /** Base word-salad text of doc `id` (pure function of id + seed). */
+  private def baseText(id: Long, seed: Long): String = {
+    val h0 = mix(seed ^ id)
+    val len = 10 + (math.abs(h0) % 91).toInt
+    val sb = new StringBuilder
+    var i = 0
+    while (i < len) {
+      if (i > 0) sb.append(' ')
+      sb.append(Vocab((math.abs(mix(h0 + i)) % Vocab.length).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Text with the proportional duplicate structure: every 500th doc is
+    * an EXACT copy of the doc 499 before it; every 200th is a NEAR-dup
+    * (one appended token) of the doc 199 before it.
+    */
+  private[graft] def textOf(id: Long, seed: Long): String =
+    if (id % 500 == 499 && id >= 499) baseText(id - 499, seed)
+    else if (id % 200 == 199 && id >= 199) baseText(id - 199, seed) + " neardup"
+    else baseText(id, seed)
+
+  private[graft] def writeDocuments(spark: SparkSession, dir: String,
+      n: Long, seed: Long): Unit = {
+    import spark.implicits._
+    spark.range(n)
+      .select(col("id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val text = textOf(id, seed)
+        (id, text, Langs((math.abs(mix(seed + id * 31)) % Langs.length).toInt),
+          "src" + (id % 20), text.length.toLong)
+      })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private[graft] def writeEmbeddings(spark: SparkSession, dir: String,
+      m: Long, seed: Long, dim: Int = 64): Unit = {
+    import spark.implicits._
+    spark.range(m)
+      .select(col("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val label = (id % 10).toInt
+        val v = Array.tabulate(dim) { d =>
+          val center = (math.abs(mix(seed ^ (9000L + label * dim + d)))
+            % 1000) / 1000.0f - 0.5f
+          val noise = ((math.abs(mix(seed ^ (id * dim + d))) % 1000)
+            / 1000.0f - 0.5f) * 0.2f
+          center + noise
+        }
+        (id, v, label)
+      })
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  private val Excluded: Map[String, String] = Map(
+    "q1_agg" -> "tpch_table", "q2_join_broadcast" -> "tpch_table",
+    "q3_window_topk" -> "tpch_table", "q4_semi_anti" -> "tpch_table",
+    "q5_rollup" -> "tpch_table", "q6_events_session" -> "tpch_table",
+    "ann_lsh_exhaustive_topk" -> "by_construction_exhaustive_oracle_twin",
+    "ann_ivf_exhaustive_topk" -> "by_construction_exhaustive_oracle_twin",
+    "ann_self_exhaustive_topk" -> "by_construction_exhaustive_oracle_twin",
+    "ann_self_top1" ->
+      "fixed_nlist_oracle_parameterization__measured_as_ann_self_top1_scaled",
+    // the plant oracles probe with the WHOLE corpus (a twin per vector)
+    // at fixed bucket parameters, so probe count AND bucket size both
+    // grow with n — quadratic by parameterization, not by plan; the
+    // scaled variants below hold per-probe work flat the way a
+    // production caller would (nBits ~ log2 n, nlist ~ n for
+    // probes ~ n)
+    "ann_lsh_plant_top1" ->
+      "probes_scale_with_corpus__measured_as_ann_lsh_plant_scaled",
+    "ann_ivf_plant_top1" ->
+      "probes_scale_with_corpus__measured_as_ann_ivf_plant_scaled")
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-decade")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  private def time(fn: => DataFrame): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val df = fn
+    val rows = df.queryExecution.toRdd.count()
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  /** Self k-NN under the documented scale law: nlist grows ~sqrt(n) so
+    * per-cell work stays flat per corpus row.
+    */
+  private def selfTopKScaled(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.io.Tables.table(s, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val m = e.count()
+    val nlist = math.max(8, math.round(8 * math.sqrt(m / 2000.0)).toInt)
+    graft.ops.Similarity.ivfSelfTopK(s, e, k = 1, nlist = nlist, nprobe = 2)
+  }
+
+  private def unitEmb(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val e = graft.io.Tables.table(s, dir, "embeddings")
+      .select("vec_id", "embedding")
+    (e, e.count())
+  }
+
+  /** Planted-twin LSH with nBits ~ log2(n): expected bucket size stays
+    * flat, so probes x bucket stays linear in n.
+    */
+  private def lshPlantScaled(s: SparkSession, dir: String): DataFrame = {
+    val (e, m) = unitEmb(s, dir)
+    val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
+      col("embedding"))
+    // ceil, not round: rounding 10x down to +3 bits leaves buckets 25%
+    // fatter at the larger size, and probes ~ n turns that into a
+    // measured ~12.5x — ceil keeps per-bucket occupancy <= the 1x size
+    val nBits = 6 + math.max(0,
+      math.ceil(math.log(m / 2000.0) / math.log(2)).toInt)
+    graft.ops.Similarity.lshTopK(s, e.unionByName(planted), planted,
+      k = 1, nBits = nBits)
+  }
+
+  /** Planted-twin IVF with nlist ~ n: cell size stays flat, so
+    * probes x (nprobe x cell) stays linear in n.
+    */
+  private def ivfPlantScaled(s: SparkSession, dir: String): DataFrame = {
+    val (e, m) = unitEmb(s, dir)
+    val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
+      col("embedding"))
+    val nlist = math.max(8, math.round(8 * m / 2000.0).toInt)
+    graft.ops.Similarity.ivfTopK(s, e.unionByName(planted), planted,
+      k = 1, nlist = nlist, nprobe = 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val base = sys.env.getOrElse("SPARK_GRAFT_DECADE_DIR",
+      "/root/repo/scale_data")
+    val n1 = sys.env.getOrElse("SPARK_GRAFT_DECADE_DOCS", "5000").toLong
+    val m1 = sys.env.getOrElse("SPARK_GRAFT_DECADE_VECS", "2000").toLong
+    val slack = 1.5
+    val seed = 42L
+    val spark = session()
+
+    val dir1 = s"$base/decade1x"
+    val dir10 = s"$base/decade10x"
+    writeDocuments(spark, dir1, n1, seed)
+    writeDocuments(spark, dir10, n1 * 10, seed)
+    writeEmbeddings(spark, dir1, m1, seed)
+    writeEmbeddings(spark, dir10, m1 * 10, seed)
+
+    val targets: Seq[(String, (SparkSession, String) => DataFrame)] =
+      (SparkEntry.queries.view.filterKeys(!Excluded.contains(_)).toSeq ++
+        Seq(
+          "ann_self_top1_scaled" ->
+            ((s: SparkSession, d: String) => selfTopKScaled(s, d)),
+          "ann_lsh_plant_scaled" ->
+            ((s: SparkSession, d: String) => lshPlantScaled(s, d)),
+          "ann_ivf_plant_scaled" ->
+            ((s: SparkSession, d: String) => ivfPlantScaled(s, d))))
+        .sortBy(_._1)
+
+    val out = new StringBuilder
+    var flagged = List.empty[String]
+    targets.foreach { case (name, fn) =>
+      // best-of-2 at 1x (first pass JIT-warms), one pass at 10x,
+      // adaptive second 10x sample before any super-linear flag
+      val (a1, _) = time(fn(spark, dir1))
+      val (b1, rows1) = time(fn(spark, dir1))
+      val s1 = math.min(a1, b1)
+      val l10 = loadAvg()
+      var (s10, rows10) = time(fn(spark, dir10))
+      var resampled = false
+      if (s10 / math.max(s1, 1e-3) > 10 * slack) {
+        val (r, _) = time(fn(spark, dir10))
+        s10 = math.min(s10, r); resampled = true
+      }
+      val ratio = s10 / math.max(s1, 1e-3)
+      val superlinear = ratio > 10 * slack
+      if (superlinear) flagged ::= name
+      if (out.nonEmpty) out.append(",")
+      out.append(f""""$name":{"sec_1x":$s1%.3f,"sec_10x":$s10%.3f,""" +
+        f""""ratio":$ratio%.2f,"rows_1x":$rows1,"rows_10x":$rows10,""" +
+        f""""load_10x":$l10%.2f,"resampled":$resampled,""" +
+        f""""superlinear":$superlinear}""")
+      // progress on stderr; stdout stays the single JSON line
+      Console.err.println(f"[decade] $name%-28s 1x=$s1%7.3fs 10x=$s10%8.3fs " +
+        f"ratio=$ratio%6.2f${if (superlinear) "  ** SUPER-LINEAR **" else ""}")
+    }
+    spark.stop()
+    val excl = Excluded.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val flaggedJson = flagged.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"scale_decade","docs_1x":$n1,"docs_10x":${n1 * 10},""" +
+        s""""vecs_1x":$m1,"vecs_10x":${m1 * 10},"slack":$slack,""" +
+        s""""superlinear":$flaggedJson,"excluded":$excl,""" +
+        s""""queries":{$out}}"""
+    println(line)
+    try {
+      val w = new java.io.PrintWriter("scale_decade.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+  }
+}

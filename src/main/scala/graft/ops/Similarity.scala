@@ -47,6 +47,18 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
 
+  /** Probe-set rows above which the probe-side broadcast is withheld.
+    * At the default, a 64-dim float probe set broadcasts ~50 MB — fine
+    * on any executor; past the cap the bucketed paths (lsh/ivf) fall
+    * back to their equi-key shuffle join and the brute-force path
+    * fails fast, because an executor-OOM mid-broadcast is the one
+    * failure mode a 10^12-row job cannot diagnose. The check-then-use
+    * is not atomic (the probe plan executes for the bounded count and
+    * again for the join), so the documented requirement is the same
+    * deterministic-lineage contract as CorpusStats/Packing.
+    */
+  private[ops] val MaxBroadcastProbes = 200000L
+
   /** Brute-force top-k by dot product: corpus x broadcast(probes).
     *
     * k == 1 avoids the ranking window entirely: `max(struct(score,
@@ -55,10 +67,22 @@ object Similarity {
     * before the exchange, instead of shuffling and sorting every scored
     * pair (the window plan). Tie semantics identical to the window
     * (`score desc, neighbor_id asc`).
+    *
+    * The probe set MUST be bounded: the scoring join has no equi-key
+    * to shuffle on, so there is no over-cap fallback — the guard fails
+    * fast with the measured size instead of letting the broadcast OOM
+    * the executors.
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      metric: (Column, Column) => Column = dotCol): DataFrame = {
+      metric: (Column, Column) => Column = dotCol,
+      maxBroadcastProbes: Long = MaxBroadcastProbes): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val nProbes = boundedCount(probes, maxBroadcastProbes)
+    require(nProbes <= maxBroadcastProbes,
+      s"bruteForceTopK probe set exceeds $maxBroadcastProbes rows (> " +
+        s"$nProbes): the keyless scoring join only exists broadcast — " +
+        "use lshTopK/ivfTopK (bucketed, shuffle-joinable) or " +
+        "ivfSelfTopK for corpus-sized probe sets")
     val joined = corpus.as("c")
       .join(broadcast(probes.as("p")),
         col("c.vec_id") =!= col("p.vec_id"))
@@ -363,8 +387,10 @@ object Similarity {
 
   def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      maxTrain: Long = 200000L): DataFrame =
-    ivfCellTopK(spark, corpus, Some(probes), k, nlist, nprobe, seed, maxTrain)
+      maxTrain: Long = 200000L,
+      maxBroadcastProbes: Long = MaxBroadcastProbes): DataFrame =
+    ivfCellTopK(spark, corpus, Some(probes), k, nlist, nprobe, seed,
+      maxTrain, None, maxBroadcastProbes)
 
   /** Corpus-scale self k-NN join over the IVF cells: EVERY vector is a
     * probe, so nothing is broadcast — both sides shuffle on the cell
@@ -391,7 +417,8 @@ object Similarity {
   private def ivfCellTopK(spark: SparkSession, corpus: DataFrame,
       probes: Option[DataFrame], k: Int, nlist: Int, nprobe: Int,
       seed: Long, maxTrain: Long,
-      metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      metrics: Option[org.apache.spark.sql.Observation] = None,
+      maxBroadcastProbes: Long = MaxBroadcastProbes): DataFrame = {
     // register on the input frames' OWN sessions too: call_function
     // resolves against the frame's session registry at analysis, which
     // in a multi-session app may differ from `spark` (the same reason
@@ -426,7 +453,13 @@ object Similarity {
       call_function("ivf_cell", col("embedding"), centroidsLit))
     val pbRaw = probes.getOrElse(corpus)
       .withColumn("cell", explode(cellsUdf(col("embedding")))).as("p")
-    val pb = if (probes.isDefined) broadcast(pbRaw) else pbRaw
+    // probe-side broadcast only while the bounded-probe contract
+    // actually holds; past the cap the cell-keyed join shuffles both
+    // sides (AQE picks the strategy) instead of OOMing on the build
+    val pb =
+      if (probes.exists(p => boundedCount(p, maxBroadcastProbes)
+          <= maxBroadcastProbes)) broadcast(pbRaw)
+      else pbRaw
     val joined = cb.as("c").join(pb,
         col("c.cell") === col("p.cell") &&
         col("c.vec_id") =!= col("p.vec_id"))
@@ -455,7 +488,8 @@ object Similarity {
     * multi-probe; the shuffle is bounded by bucket sizes.
     */
   def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
-      k: Int, nBits: Int = 8, multiProbe: Int = 0): DataFrame = {
+      k: Int, nBits: Int = 8, multiProbe: Int = 0,
+      maxBroadcastProbes: Long = MaxBroadcastProbes): DataFrame = {
     import spark.implicits._
     // frame-session registration + null-row semantics: see ivfCellTopK
     graft.functions.GraftFunctions.register(spark)
@@ -474,7 +508,13 @@ object Similarity {
     val pb =
       if (multiProbe <= 0) probes.withColumn("bucket", sigCol(col("embedding")))
       else probes.withColumn("bucket", explode(probeUdf(col("embedding"))))
-    val joined = cb.as("c").join(broadcast(pb.as("p")),
+    // same guarded broadcast as the IVF core: the bucket equi-key
+    // means an over-cap probe set degrades to a shuffle join, not OOM
+    val pbMaybe =
+      if (boundedCount(probes, maxBroadcastProbes) <= maxBroadcastProbes)
+        broadcast(pb.as("p"))
+      else pb.as("p")
+    val joined = cb.as("c").join(pbMaybe,
         col("c.bucket") === col("p.bucket") &&
         col("c.vec_id") =!= col("p.vec_id"))
       .select(

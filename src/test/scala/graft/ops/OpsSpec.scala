@@ -47,6 +47,48 @@ class OpsSpec extends AnyFunSuite {
     assert(found == 100, s"exact copies must collide: $found/100")
   }
 
+  test("probe-broadcast guard: over-cap probes shuffle (lsh/ivf) or fail fast (brute)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val e = embeddings.select("vec_id", "embedding")
+    // bucketed paths: identical results either side of the cap, and the
+    // over-cap plan carries NO broadcast exchange on the probe side
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bc = Similarity.lshTopK(spark, e, e, k = 3, nBits = 4)
+    // with the auto-broadcast threshold OFF, only the forced hint can
+    // broadcast: the under-cap path must still carry it, the over-cap
+    // path must run the equi-key join as a shuffle — and agree. (With
+    // the threshold at its default, AQE is free to re-broadcast a
+    // measured-small probe side even without the hint — that is the
+    // point of dropping the hint rather than forbidding broadcast.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sh = Similarity.lshTopK(spark, e, e, k = 3, nBits = 4,
+        maxBroadcastProbes = 2)
+      assert(rows(bc) == rows(sh), "broadcast and shuffle joins must agree")
+      sh.collect() // AQE finalizes only after execution
+      val shPlan = sh.queryExecution.executedPlan.toString
+      assert(!shPlan.contains("BroadcastExchange"),
+        s"over-cap probe set must not broadcast:\n$shPlan")
+      val forced = Similarity.lshTopK(spark, e, e, k = 3, nBits = 4)
+      forced.collect()
+      assert(forced.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"),
+        "under-cap probe set must keep the broadcast hint")
+      val ivfSh = Similarity.ivfTopK(spark, e, e, k = 3, nlist = 4,
+        nprobe = 2, maxBroadcastProbes = 2)
+      assert(rows(ivfSh) ==
+        rows(Similarity.ivfTopK(spark, e, e, k = 3, nlist = 4, nprobe = 2)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // brute force has no equi-key fallback: fail fast, never OOM
+    val err = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(e, e, 1, maxBroadcastProbes = 2)
+    }
+    assert(err.getMessage.contains("probe set exceeds"))
+  }
+
   test("lsh ann recall vs brute force") {
     val e = embeddings.select("vec_id", "embedding")
     val brute = Similarity.bruteForceTopK(e, e, 5)
