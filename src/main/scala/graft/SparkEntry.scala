@@ -1249,6 +1249,93 @@ object SparkEntry {
         .select(substring_index(col("url"), "/", -1).cast("long")
           .as("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    // ---- graph analytics over the materialized KG (GraphOps) ----
+    // All three run on the token co-occurrence graph (the TextRank
+    // shape) derived from `documents`, which DuckDB can rebuild
+    // exactly — the operators themselves are edge-table generic and
+    // serve the canonical entity graph identically.
+
+    // degree distribution: per-node out/in degree over distinct edges
+    "kg_degrees" -> ((s, dir) => {
+      graft.kg.GraphOps.degrees(
+          graft.kg.GraphOps.bigramEdges(t(s, dir, "documents")))
+        .orderBy("node")
+    }),
+
+    // fixed-iteration PageRank, bit-reproducible at any parallelism
+    // (decimal-summed contributions; see GraphOps.pagerank scaladoc)
+    "kg_pagerank" -> ((s, dir) => {
+      graft.kg.GraphOps.pagerank(s,
+          graft.kg.GraphOps.bigramEdges(t(s, dir, "documents")),
+          iters = 3)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy("node")
+    }),
+
+    // 2-hop min-distance BFS from seed nodes (frontier expansion)
+    "kg_nhop" -> ((s, dir) => {
+      graft.kg.GraphOps.nhop(s,
+          graft.kg.GraphOps.bigramEdges(t(s, dir, "documents")),
+          seeds = Seq("spark", "query"), hops = 2)
+        .orderBy("node")
+    }),
+
+    // Iceberg-MERGE-shaped incremental upsert: every 5th doc arrives
+    // re-crawled (updated text), every 50th spawns a brand-new doc id;
+    // delta wins whole-row, base rows carry through, inserts append.
+    "kg_merge_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+      val updates = d.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(lit("RECRAWL "), col("text")))
+      val inserts = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("NEW "), col("text")).as("text"),
+          col("lang"), col("source"))
+      graft.ops.Merge.upsert(d, updates.union(inserts),
+          key = Seq("doc_id"))
+        .select(col("doc_id"), md5(col("text")).as("content_key"),
+          col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-prefiltered decontamination: identical result to
+    // doc_contamination (no false negatives; FPs removed by the exact
+    // confirm join) — shares its oracle SQL verbatim. The Bloom
+    // broadcast is the 100 TB path: corpus grams are filtered BEFORE
+    // any join or shuffle.
+    "doc_bloom_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.TextAnalysis.bloomContamination(s, d,
+          d.filter(col("doc_id") % 50 === 0), n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // BM25 relevance of every doc against a fixed query-term set
+    "doc_bm25" -> ((s, dir) => {
+      graft.ops.Ranking.bm25(s, t(s, dir, "documents"),
+          terms = Seq("spark", "query", "fast"))
+        .orderBy("doc_id")
+    }),
+
+    // per-domain rollup via explicit two-stage salted aggregation;
+    // oracle is the plain single GROUP BY (algebraic measures ⇒ exact)
+    "doc_domain_stats" -> ((s, dir) => {
+      graft.ops.TextAnalysis.domainStats(t(s, dir, "documents"))
+        .orderBy("domain")
+    }),
+
+    // deterministic per-language stratified sample (md5-hex thresholds,
+    // granularity 1/256): en 50%, de 25%, zh 12.5%, others 6.25%
+    "doc_sample_stratified" -> ((s, dir) => {
+      graft.ops.TextAnalysis.stratifiedSample(
+          t(s, dir, "documents"), strataCol = "lang",
+          rates = Seq("en" -> "80", "de" -> "40", "zh" -> "20"),
+          defaultThreshold = "10")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     })
   )
 
@@ -1290,7 +1377,147 @@ object SparkEntry {
        | '^http[s]?://(?:[a-zA-Z]|[0-9]|[$$-_@.&+]|[!*\\(\\),]|%[0-9a-fA-F][0-9a-fA-F])+'))"""
       .stripMargin.replace("\n", " ")
 
+  /** Shared by doc_contamination and doc_bloom_contamination — the
+    * bloom path is an exact-result optimization, so both queries are
+    * checked against the identical DuckDB replica.
+    */
+  private val contaminationOracle: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
+      |    ELSE LIST_DISTINCT(list_transform(
+      |      generate_series(1, LEN(STRING_SPLIT(text, ' ')) - 2),
+      |      i -> array_to_string((STRING_SPLIT(text, ' '))[i:i+2], ' ')))
+      |    END AS grams
+      |  FROM documents),
+      |b AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g
+      |      WHERE doc_id % 50 = 0),
+      |bl AS (SELECT LIST(gram) AS bset FROM b)
+      |SELECT g.doc_id,
+      |  CAST(COALESCE(LEN(LIST_INTERSECT(g.grams, bl.bset)), 0) AS BIGINT)
+      |    AS n_shared_grams
+      |FROM g CROSS JOIN bl ORDER BY doc_id""".stripMargin
+
+  /** Token co-occurrence edge CTE shared by the graph-analytics
+    * oracles — DuckDB's list_zip/slice replica of GraphOps.bigramEdges'
+    * shift-and-zip.
+    */
+  private val graphEdgesCte: String =
+    """WITH toks AS (SELECT STRING_SPLIT(text, ' ') AS w FROM documents),
+      |pairs AS (SELECT UNNEST(LIST_ZIP(w, w[2:])) AS z FROM toks),
+      |edges AS (SELECT z[1] AS src, z[2] AS dst, COUNT(*) AS weight
+      |  FROM pairs WHERE z[2] IS NOT NULL GROUP BY 1, 2)""".stripMargin
+
+  /** Unrolled fixed-iteration PageRank replica of GraphOps.pagerank:
+    * same per-iteration double ops in the same association, the same
+    * round-to-12dp, and the same exact DECIMAL(38,15) contribution sum,
+    * so the two engines agree bit-for-bit. (1.0-0.85) is spelled as a
+    * SUBTRACTION, not the literal 0.15 — IEEE 1.0-0.85 is NOT the
+    * nearest double to 0.15, and the Scala side computes the
+    * subtraction.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val its = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |    ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/nn.n +
+         |      CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.c, 0) AS DOUBLE), 12) AS rank
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst,
+         |      SUM(CAST(ROUND(p.rank/od.outdeg, 12) AS DECIMAL(38,15))) AS c
+         |    FROM edges e JOIN od USING (src) JOIN pr${i - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$graphEdgesCte,
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS rank
+       |        FROM nodes),
+       |$its
+       |SELECT node, ROUND(rank, 10) AS rank FROM pr$iters ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_degrees" ->
+      s"""$graphEdgesCte,
+         |o AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+         |i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY 1)
+         |SELECT COALESCE(o.node, i.node) AS node,
+         |  CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+         |  CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg
+         |FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node""".stripMargin,
+    "kg_pagerank" -> pagerankOracle(3),
+    "kg_nhop" ->
+      s"""$graphEdgesCte,
+         |seeds AS (SELECT UNNEST(['spark', 'query']) AS node),
+         |d0 AS (SELECT DISTINCT node, 0 AS dist FROM seeds),
+         |f1 AS (SELECT e.dst AS node, 1 AS dist FROM edges e
+         |       JOIN d0 ON e.src = d0.node WHERE d0.dist = 0),
+         |d1 AS (SELECT node, MIN(dist) AS dist FROM
+         |       (SELECT * FROM d0 UNION ALL SELECT * FROM f1) GROUP BY node),
+         |f2 AS (SELECT e.dst AS node, 2 AS dist FROM edges e
+         |       JOIN d1 ON e.src = d1.node WHERE d1.dist = 1),
+         |d2 AS (SELECT node, MIN(dist) AS dist FROM
+         |       (SELECT * FROM d1 UNION ALL SELECT * FROM f2) GROUP BY node)
+         |SELECT node, dist FROM d2 ORDER BY node""".stripMargin,
+    "kg_merge_incremental" ->
+      """WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+        |delta AS (
+        |  SELECT doc_id, 'RECRAWL ' || text AS text, lang, source
+        |  FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'NEW ' || text, lang, source
+        |  FROM base WHERE doc_id % 50 = 0),
+        |m AS (
+        |  SELECT COALESCE(d.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN d.doc_id IS NOT NULL THEN d.text ELSE b.text END AS text,
+        |    CASE WHEN d.doc_id IS NOT NULL THEN d.lang ELSE b.lang END AS lang,
+        |    CASE WHEN d.doc_id IS NOT NULL THEN d.source ELSE b.source END AS source
+        |  FROM base b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id)
+        |SELECT doc_id, MD5(text) AS content_key, lang, source
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "doc_bm25" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(LEN(w) AS BIGINT) AS dl FROM toks),
+        |const AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |                 CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, UNNEST(w) AS t FROM toks) u
+        |       WHERE u.t IN ('spark', 'query', 'fast')
+        |       GROUP BY doc_id, t),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT term,
+        |          LN((const.n - df + CAST(0.5 AS DOUBLE)) /
+        |             (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf
+        |        FROM df CROSS JOIN const),
+        |c AS (SELECT tf.doc_id,
+        |  CAST(ROUND(idf.idf *
+        |    (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |    (tf.tf + CAST(1.2 AS DOUBLE) *
+        |      ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) +
+        |        CAST(0.75 AS DOUBLE) * dl.dl / const.avgdl)), 9)
+        |    AS DECIMAL(38,15)) AS c
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN const)
+        |SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "doc_domain_stats" ->
+      """SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+        |  CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
+        |FROM documents GROUP BY source ORDER BY domain""".stripMargin,
+    "doc_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE md5('strat:' || CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN lang = 'en' THEN '80'
+        |       WHEN lang = 'de' THEN '40'
+        |       WHEN lang = 'zh' THEN '20'
+        |       ELSE '10' END
+        |ORDER BY doc_id""".stripMargin,
     "kg_triples" ->
       """WITH d AS (
         |  SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n
@@ -1609,22 +1836,10 @@ object SparkEntry {
         |       THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "doc_contamination" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 3 THEN [text]
-        |    ELSE LIST_DISTINCT(list_transform(
-        |      generate_series(1, LEN(STRING_SPLIT(text, ' ')) - 2),
-        |      i -> array_to_string((STRING_SPLIT(text, ' '))[i:i+2], ' ')))
-        |    END AS grams
-        |  FROM documents),
-        |b AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g
-        |      WHERE doc_id % 50 = 0),
-        |bl AS (SELECT LIST(gram) AS bset FROM b)
-        |SELECT g.doc_id,
-        |  CAST(COALESCE(LEN(LIST_INTERSECT(g.grams, bl.bset)), 0) AS BIGINT)
-        |    AS n_shared_grams
-        |FROM g CROSS JOIN bl ORDER BY doc_id""".stripMargin,
+    "doc_contamination" -> contaminationOracle,
+    // bloom prefilter + exact confirm ≡ exact contamination (no false
+    // negatives; FPs confirmed away) — same oracle by construction
+    "doc_bloom_contamination" -> contaminationOracle,
     "doc_pii_redact" ->
       """WITH toks AS (
         |  SELECT doc_id,

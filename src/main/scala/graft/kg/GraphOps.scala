@@ -1,0 +1,151 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph analytics over the materialized KG edge tables — the query
+  * layer a knowledge-graph construction pipeline feeds (north star:
+  * "materializing node/edge Iceberg tables"; these operators consume
+  * them). The reference repo stops at triple emission; ranking /
+  * degree / reachability over the built graph is the standard next
+  * query a KG serves, so it is implemented here as first-class
+  * DataFrame operators with explicit shuffle accounting.
+  *
+  * All three operators take a generic `(src, dst)` edge DataFrame —
+  * canonical entity edges from [[Canonicalize.canonicalEdges]], the
+  * token co-occurrence graph from [[GraphOps.bigramEdges]] (the
+  * TextRank shape, Mihalcea & Tarau 2004), or any edge table.
+  *
+  * Determinism contract (the same one `SparkEntry.dsum` uses): every
+  * floating-point SUM in [[pagerank]] runs through exact DECIMAL
+  * aggregation, so partial-aggregation order — which changes with
+  * partition count — cannot change the result. PageRank here is
+  * bit-reproducible across cluster sizes (the N vs 4N identical-output
+  * evidence in BASELINE.md rests on exactly this property).
+  */
+object GraphOps {
+
+  /** Directed token co-occurrence edges (w_i -> w_{i+1}) with counts.
+    * Shift-and-zip (`zip_with(w, slice(w, 2, n))`) builds the pairs
+    * without a posexplode self-join; the only shuffle is the final
+    * (src, dst) groupBy. zip_with pads the shorter side with NULL, so
+    * the trailing (last_token, NULL) pair is filtered before explode —
+    * single-token and empty docs contribute no edges.
+    */
+  def bigramEdges(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = split(col(textCol), " ")
+    val pairs = filter(
+      zip_with(w, slice(w, lit(2), size(w)),
+        (a, b) => struct(a.as("src"), b.as("dst"))),
+      p => p.getField("dst").isNotNull)
+    docs
+      .select(explode(pairs).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Per-node out/in degree over the DISTINCT edge set (edges are
+    * assumed deduplicated per (src, dst), as [[bigramEdges]] emits).
+    * Two map-side-combinable groupBys + one full outer merge on node —
+    * no row ever carries more than (node, long), so the shuffle is a
+    * few bytes per node regardless of corpus size.
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Fixed-iteration PageRank as iterative DataFrame joins:
+    *
+    *   pr_0(v)   = 1/N
+    *   pr_t+1(v) = round((1-d)/N + d * S_t(v), scale)
+    *   S_t(v)    = Σ_{u→v} decimal(round(pr_t(u)/outdeg(u), scale))
+    *
+    * Dangling mass (nodes with no out-edges) is NOT redistributed —
+    * total rank leaks by the dangling fraction per iteration. That is
+    * a deliberate, documented semantics choice: it keeps each
+    * iteration a single contribution join + one aggregation, and the
+    * oracle replicates it exactly.
+    *
+    * Scale shape (per iteration): the edge⋈rank join shuffles only the
+    * rank side — `eo` is repartitioned on src ONCE and cached, and
+    * InMemoryRelation preserves that HashPartitioning, so Catalyst
+    * reuses it across all iterations. The contribution aggregation
+    * shuffles (dst, decimal) pairs — map-side combinable, a few bytes
+    * per edge partition per reducer. Hot dst nodes (celebrity
+    * entities) are exactly the partial-aggregation case: each map task
+    * pre-sums its contributions, so a 10^8-in-degree node receives one
+    * row per map task, not per edge. For iteration counts beyond ~10,
+    * pass `checkpointEvery` to cut the growing lineage with an eager
+    * localCheckpoint.
+    *
+    * Determinism: contributions are rounded to `scale` decimal places
+    * (an IEEE double op, identical everywhere), then summed as
+    * DECIMAL(38,15) — exact, order-independent — so the result is
+    * bit-identical at any parallelism. DuckDB replicates the same
+    * arithmetic; `kg_pagerank` is hash-oracled.
+    */
+  def pagerank(spark: SparkSession, edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85, scale: Int = 12,
+      checkpointEvery: Int = Int.MaxValue): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .distinct()
+      .repartition(col("node"))
+      .cache()
+    val n = nodes.count()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // edge ⋈ outdeg once, up front; cached partitioned on src so each
+    // iteration's rank join reuses the partitioning (rank side shuffles,
+    // edges do not).
+    val eo = edges.select("src", "dst").join(outdeg, "src")
+      .repartition(col("src"))
+      .cache()
+    val base = lit((1.0 - damping) / n)
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = eo.join(pr, eo("src") === pr("node"))
+        .select(col("dst"),
+          round(col("rank") / col("outdeg"), scale)
+            .cast(DecimalType(38, 15)).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          round(base + lit(damping) *
+            coalesce(col("s").cast("double"), lit(0.0)), scale).as("rank"))
+      if (i % checkpointEvery == 0) pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** Minimum-distance BFS from `seeds`, out to `hops` edge hops.
+    * Returns (node, dist) for every node reachable within `hops`
+    * (seeds at dist 0). Frontier-only expansion: iteration h joins
+    * edges against ONLY the dist=h-1 frontier (not the whole visited
+    * set), then a min-merge collapses revisits — the same
+    * frontier/visited split every distributed BFS uses, so work per
+    * iteration is O(frontier ⋈ edges), not O(visited ⋈ edges).
+    */
+  def nhop(spark: SparkSession, edges: DataFrame, seeds: Seq[String],
+      hops: Int): DataFrame = {
+    import spark.implicits._
+    var dist = seeds.toDF("node").distinct()
+      .select(col("node"), lit(0).as("dist"))
+    for (h <- 1 to hops) {
+      val frontier = dist.filter(col("dist") === (h - 1))
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node"), lit(h).as("dist"))
+      dist = dist.union(next)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental upsert — the MERGE INTO semantics an Iceberg-backed KG
+  * pipeline runs every ingest cycle to fold a delta batch (re-crawled
+  * pages, fresh triples) into the materialized base table:
+  * WHEN MATCHED THEN UPDATE (delta row wins whole-row, not per-column)
+  * WHEN NOT MATCHED THEN INSERT.
+  *
+  * Implemented as one full-outer shuffle join on the key — exactly the
+  * copy-on-write MERGE plan — with row-level winner selection via a
+  * presence flag, so a NULL in a delta column is preserved as NULL
+  * (per-column COALESCE would silently resurrect the base value).
+  * Non-key columns are prefixed per side BEFORE the join, so base and
+  * delta may be projections of the same source frame without tripping
+  * ambiguous-self-join resolution.
+  *
+  * Scale shape: one exchange per side on the key columns, AQE-eligible
+  * for skew; no broadcast assumption (a delta batch can be any size).
+  * On an Iceberg catalog this projection is what `MERGE INTO ... USING`
+  * compiles to; here it is the engine-level operator, oracled as
+  * `kg_merge_incremental`.
+  *
+  * @param key join key columns; must be non-null in both inputs.
+  */
+object Merge {
+  def upsert(base: DataFrame, delta: DataFrame, key: Seq[String]): DataFrame = {
+    require(key.nonEmpty, "upsert needs at least one key column")
+    val cols = base.columns.toSeq
+    require(delta.columns.toSeq == cols,
+      s"schema mismatch: base ${cols.mkString(",")} vs delta ${delta.columns.mkString(",")}")
+    val nonKey = cols.filterNot(key.contains)
+    val b2 = base.select(key.map(col) ++
+      nonKey.map(c => col(c).as(s"__b_$c")): _*)
+    val d2 = delta.select(key.map(col) ++
+      nonKey.map(c => col(c).as(s"__d_$c")) :+
+      lit(true).as("__in_delta"): _*)
+    b2.join(d2, key, "full_outer")
+      .select(key.map(col) ++ nonKey.map { c =>
+        when(col("__in_delta").isNotNull, col(s"__d_$c"))
+          .otherwise(col(s"__b_$c")).as(c)
+      }: _*)
+  }
+}

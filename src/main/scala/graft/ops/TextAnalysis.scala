@@ -314,4 +314,91 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("avg_logp"))
   }
+
+  /** [[contamination]] with a Bloom prefilter — the 100 TB shape when
+    * even the exploded doc-gram stream is too wide to semi-join raw: a
+    * Bloom filter over the benchmark grams (one aggregation job; MBs
+    * for an eval-set-sized input at the given fpp) broadcasts, and the
+    * corpus-side gram stream is filtered through `mightContain` BEFORE
+    * any join, cutting the join input to true hits + an fpp-sized
+    * trickle of false positives. Those FPs are then removed by the
+    * exact confirm semi-join against the real gram set, so the result
+    * is IDENTICAL to [[contamination]] (Bloom filters have no false
+    * negatives) — `doc_bloom_contamination` shares doc_contamination's
+    * oracle SQL verbatim.
+    */
+  def bloomContamination(spark: SparkSession, docs: DataFrame,
+      benchmark: DataFrame, n: Int = 3, fpp: Double = 0.01,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bset = benchmark
+      .select(explode(Dedup.ngramSet(col(textCol), n)).as("gram"))
+      .distinct()
+      .localCheckpoint(true)
+    // expectedNumItems from the checkpointed blocks — a cheap count,
+    // no gram-pipeline re-execution
+    val nGrams = math.max(bset.count(), 1L)
+    val bf = bset.stat.bloomFilter("gram", nGrams, fpp)
+    val bcBf = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => g != null && bcBf.value.mightContainString(g))
+    val cand = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.ngramSet(col(textCol), n)).as("gram"))
+      .filter(mightContain(col("gram")))
+    val hits = cand.join(broadcast(bset), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+  }
+
+  /** Per-domain corpus rollup (docs, chars, tokens, length extremes) as
+    * an EXPLICIT two-stage salted aggregation: stage 1 aggregates on
+    * (domain, salt) — a crawl's hot domains (a handful of hosts owning
+    * double-digit corpus percentages is the norm) fan out over `salts`
+    * reducers — stage 2 merges the ≤ salts partial rows per domain.
+    * All measures are algebraic (sum/count/min/max of longs), so the
+    * two-stage split is exact; the oracle is the plain single GROUP BY.
+    *
+    * (Spark's own partial aggregation gives map-side combining already;
+    * the salt guards the REDUCE side, where one domain otherwise lands
+    * on one reducer regardless of combiners — the same pattern the
+    * canonicalization alias-merge uses.)
+    */
+  def domainStats(docs: DataFrame, domainCol: String = "source",
+      salts: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    val len = length(col(textCol)).cast("long")
+    val partial = docs
+      .withColumn("__salt", pmod(col(idCol).cast("long"), lit(salts)))
+      .groupBy(col(domainCol).as("domain"), col("__salt"))
+      .agg(count(lit(1)).as("n"), sum(len).as("chars"),
+        sum(nTok).as("toks"), min(len).as("mn"), max(len).as("mx"))
+    partial.groupBy("domain")
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("mn")).as("min_len"),
+        max(col("mx")).as("max_len"))
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep rates applied
+    * via the same md5-hex-threshold device as [[assignSplit]] — pure
+    * per-row predicate, no shuffle, reproducible across runs/cluster
+    * sizes, and exactly replicable in SQL. Rates are expressed as
+    * 2-hex-digit thresholds (granularity 1/256): a row survives iff
+    * md5(salt || id) < threshold(stratum). Strata missing from `rates`
+    * fall back to `defaultThreshold`.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+      rates: Seq[(String, String)], defaultThreshold: String,
+      salt: String = "strat:", idCol: String = "doc_id"): DataFrame = {
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val thr = rates.foldRight(lit(defaultThreshold): Column) {
+      case ((stratum, t), rest) =>
+        when(col(strataCol) === stratum, lit(t)).otherwise(rest)
+    }
+    docs.filter(key < thr)
+  }
 }

@@ -1,0 +1,88 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Graph analytics over KG edge tables: bigram edge derivation, degree
+  * accounting, PageRank against a hand-computed fixed point, BFS
+  * min-distance semantics, and — the distributed-correctness property
+  * the decimal-sum contract buys — bit-identical PageRank across
+  * partition counts.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  def edges(es: (String, String)*) = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+
+  test("bigramEdges: consecutive pairs with counts; no trailing-null or short-doc edges") {
+    val e = GraphOps.bigramEdges(docs("a b a b c", "a", "", "b c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(e === Set(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 2L)))
+  }
+
+  test("degrees: out/in over distinct edges, zero-filled on the missing side") {
+    val d = GraphOps.degrees(edges(("a", "b"), ("a", "c"), ("b", "c")))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(d("a") === ((2L, 0L)))
+    assert(d("b") === ((1L, 1L)))
+    assert(d("c") === ((0L, 2L)))
+  }
+
+  test("pagerank: matches the hand-derived closed form on a 3-cycle plus sink") {
+    // graph: a->b, b->a, a->c. c is dangling (mass leaks, documented).
+    // N=3, pr0 = 1/3 each, d = 0.85.
+    // iter1: contrib a = pr(b)/1 = 1/3; b = pr(a)/2; c = pr(a)/2
+    //   pr1(a) = .05 + .85/3 ≈ .33333; pr1(b) = pr1(c) = .05 + .85/6
+    val pr = GraphOps.pagerank(spark,
+        edges(("a", "b"), ("b", "a"), ("a", "c")), iters = 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val third = 1.0 / 3
+    assert(math.abs(pr("a") - (0.15 / 3 + 0.85 * third)) < 1e-9)
+    assert(math.abs(pr("b") - (0.15 / 3 + 0.85 * (third / 2))) < 1e-9)
+    assert(pr("b") === pr("c"))
+  }
+
+  test("pagerank: rank mass is conserved (no dangling nodes) and hubs outrank leaves") {
+    // star into hub h from l1..l4, plus h->l1 so every node has out-edges
+    val e = edges(("l1", "h"), ("l2", "h"), ("l3", "h"), ("l4", "h"), ("h", "l1"))
+    val pr = GraphOps.pagerank(spark, e, iters = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(pr("h") > pr("l2") * 3)
+    assert(pr("l1") > pr("l2")) // l1 receives the hub's mass
+  }
+
+  test("pagerank: bit-identical across partition counts (decimal-sum determinism)") {
+    val base = docs(
+      "a b c a d e b f g a", "c a d b e f", "g a b c d", "f e d c b a")
+    val e1 = GraphOps.bigramEdges(base.repartition(1))
+    val e7 = GraphOps.bigramEdges(base.repartition(7))
+    val r1 = GraphOps.pagerank(spark, e1, iters = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val r7 = GraphOps.pagerank(spark, e7, iters = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(r1 === r7) // exact ==, not tolerance: the decimal-sum contract
+  }
+
+  test("nhop: min-distance BFS; unreachable nodes absent; seeds at 0") {
+    // chain a->b->c->d plus shortcut a->c
+    val e = edges(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+    val d = GraphOps.nhop(spark, e, Seq("a"), hops = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(d === Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+    // isolated seed still reported at dist 0
+    val d2 = GraphOps.nhop(spark, e, Seq("zz"), hops = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(d2 === Map("zz" -> 0))
+  }
+}

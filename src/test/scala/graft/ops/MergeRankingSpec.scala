@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Round-6 pipeline operators: MERGE-style upsert row semantics, BM25
+  * scoring against a closed-form fixture, Bloom-prefiltered
+  * decontamination equivalence, salted domain rollup equivalence, and
+  * stratified-sample determinism.
+  */
+class MergeRankingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("upsert: delta wins whole-row (NULLs preserved), base carries, inserts append") {
+    import spark.implicits._
+    val base = Seq((1L, "old1", "en"), (2L, "old2", "de"), (3L, "old3", "fr"))
+      .toDF("id", "text", "lang")
+    val delta = Seq((2L, null.asInstanceOf[String], "zh"), (4L, "new4", "es"))
+      .toDF("id", "text", "lang")
+    val out = Merge.upsert(base, delta, Seq("id"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse("<null>"), r.getString(2))).toSet
+    assert(out === Set(
+      (1L, "old1", "en"),
+      (2L, "<null>", "zh"), // row-level delta win: NULL text is KEPT
+      (3L, "old3", "fr"),
+      (4L, "new4", "es")))
+  }
+
+  test("upsert: rejects schema mismatch and empty key") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "text")
+    val b = Seq((1L, "x")).toDF("id", "other")
+    intercept[IllegalArgumentException](Merge.upsert(a, b, Seq("id")))
+    intercept[IllegalArgumentException](Merge.upsert(a, a, Seq.empty))
+  }
+
+  test("bm25: matches the closed-form score on a two-doc fixture") {
+    import spark.implicits._
+    // doc 0: 'x x y' (tf_x=2, dl=3); doc 1: 'y z z z' (dl=4); query = {x}
+    // N=2, avgdl=3.5, df_x=1, idf = ln((2-1+.5)/(1+.5)+1) = ln 2
+    // s(0,x) = ln2 * 2*2.2 / (2 + 1.2*(.25 + .75*3/3.5))
+    val docs = Seq((0L, "x x y"), (1L, "y z z z")).toDF("doc_id", "text")
+    val out = Ranking.bm25(spark, docs, Seq("x"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val k1 = 1.2; val b = 0.75
+    val idf = math.log(2.0)
+    val expected = idf * (2 * (k1 + 1.0)) /
+      (2 + k1 * ((1.0 - b) + b * 3 / 3.5))
+    assert(out.keySet === Set(0L))
+    assert(math.abs(out(0L) - expected) < 1e-6)
+  }
+
+  test("bm25: rarer terms score higher at equal tf/dl") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "rare common"), (1L, "common pad"), (2L, "common pad"),
+      (3L, "pad pad")).toDF("doc_id", "text")
+    val out = Ranking.bm25(spark, docs, Seq("rare", "common"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // doc0 holds rare+common, doc1 only common → doc0 strictly higher
+    assert(out(0L) > out(1L))
+    assert(out(1L) === out(2L))
+    assert(!out.contains(3L))
+  }
+
+  test("bloomContamination ≡ contamination (exact result; bloom is a prefilter)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, "c d e f g"), (2L, "x y z w q"),
+      (3L, "a b"), (4L, "")).toDF("doc_id", "text")
+    val bench = Seq((100L, "c d e")).toDF("doc_id", "text")
+    val exact = TextAnalysis.contamination(spark, docs, bench, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bloom = TextAnalysis.bloomContamination(spark, docs, bench, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bloom === exact)
+    assert(exact(0L) === 1L && exact(1L) === 1L && exact(2L) === 0L)
+  }
+
+  test("domainStats: salted two-stage rollup equals the plain groupBy") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+        (i, ("tok " * (i % 7 + 1).toInt).trim, s"d${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val salted = TextAnalysis.domainStats(docs, salts = 8)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val plain = docs.groupBy(col("source").as("domain"))
+      .agg(count(lit(1)), sum(length(col("text")).cast("long")),
+        sum(size(split(col("text"), " ")).cast("long")),
+        min(length(col("text")).cast("long")),
+        max(length(col("text")).cast("long")))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(salted === plain)
+  }
+
+  test("stratifiedSample: deterministic, per-stratum thresholded, subset of input") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i =>
+        (i, s"text $i", if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "text", "lang")
+    val s1 = TextAnalysis.stratifiedSample(docs, "lang",
+      Seq("en" -> "80"), "10").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = TextAnalysis.stratifiedSample(docs.repartition(13), "lang",
+      Seq("en" -> "80"), "10").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2) // partitioning-independent
+    val en = s1.count(_ % 2 == 0).toDouble / 500
+    val zh = s1.count(_ % 2 == 1).toDouble / 500
+    // 0x80/0x100 = 50%, 0x10/0x100 = 6.25% — wide tolerance, n=500
+    assert(en > 0.4 && en < 0.6)
+    assert(zh > 0.01 && zh < 0.13)
+  }
+}
