@@ -1327,6 +1327,21 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // SemDeDup semantic dedup, oracled via planted exact twins (cosine
+    // 1.0 ≥ tau; exact twins always share an IVF cell). tau=0.75 sits
+    // far above the corpus's max natural pairwise cosine (0.51 at
+    // sf0.01, 0.60 at sf0.1, measured), so the keeper map is
+    // closed-form: every base id keeps itself, every planted id maps
+    // to its base.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
+        col("embedding"))
+      graft.ops.Similarity.semanticDedup(s, e.unionByName(planted),
+          tau = 0.75)
+        .orderBy("id")
+    }),
+
     // deterministic per-language stratified sample (md5-hex thresholds,
     // granularity 1/256): en 50%, de 25%, zh 12.5%, others 6.25%
     "doc_sample_stratified" -> ((s, dir) => {
@@ -1510,6 +1525,11 @@ object SparkEntry {
         |  CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
         |  CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
         |FROM documents GROUP BY source ORDER BY domain""".stripMargin,
+    "dedup_semantic" ->
+      """SELECT vec_id AS id, vec_id AS keeper FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 1099511627776 AS id, vec_id AS keeper
+        |FROM embeddings ORDER BY id""".stripMargin,
     "doc_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE md5('strat:' || CAST(doc_id AS VARCHAR)) <

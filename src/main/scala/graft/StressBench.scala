@@ -219,10 +219,47 @@ object StressBench {
     val lineJson = s""""line_dedup":{"sec":${jnum(lineSecs)},"n":$n,""" +
       s""""removed":$nRemoved}"""
 
+    // PageRank under celebrity skew: a ~2n-edge graph where EVERY node
+    // links to node n0 (in-degree n — the hot-entity case the north
+    // rule calls out) plus one pseudo-random link. Two properties at
+    // scale, not just in the unit fixture: (a) the hot node's
+    // contributions pre-sum per map task (partial aggregation), so the
+    // run completes without an n-row reducer; (b) the decimal-sum
+    // determinism contract holds BIT-FOR-BIT across partitionings —
+    // the distributed-correctness property behind the N vs 4N
+    // identical-output evidence.
+    val tP = System.nanoTime()
+    val g1 = spark.range(n).select(
+      concat(lit("n"), col("id")).as("src"),
+      concat(lit("n"), pmod(col("id") * 2654435761L, lit(n))).as("dst"))
+    val g2 = spark.range(n).select(
+      concat(lit("n"), col("id")).as("src"), lit("n0").as("dst"))
+    val pgEdges = g1.unionByName(g2).distinct()
+    val prA = graft.kg.GraphOps.pagerank(spark, pgEdges, iters = 3)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val prMass = prA.agg(sum(col("rank"))).collect()(0).getDouble(0)
+    val hotRank = prA.filter(col("node") === "n0")
+      .collect()(0).getDouble(1)
+    val prB = graft.kg.GraphOps.pagerank(spark, pgEdges.repartition(3),
+      iters = 3)
+    val prDiff = prA.except(prB).count()
+    val prSecs = (System.nanoTime() - tP) / 1e9
+    prA.unpersist()
+    assert(prDiff == 0,
+      s"pagerank: $prDiff ranks differ across partitionings — determinism broke")
+    assert(math.abs(prMass - 1.0) < 1e-3,
+      s"pagerank: rank mass $prMass drifted (no dangling nodes here)")
+    assert(hotRank > 0.3,
+      s"pagerank: celebrity node rank $hotRank — hot in-degree mass lost")
+    val pagerankJson =
+      s""""pagerank_skew":{"sec":${jnum(prSecs)},"nodes":$n,""" +
+        s""""hot_rank":${jnum(hotRank)},"mass":${jnum(prMass)},""" +
+        s""""partitioning_diff":$prDiff}"""
+
     val heapMax = Runtime.getRuntime.maxMemory()
     val json = s"""{"metric":"hot_bucket_stress","n":$n,""" +
       s""""heap_max_bytes":$heapMax,$minhashJson,$simhashJson,$cosineJson,""" +
-      s"""$keeperJson,$bpeJson,$lineJson}"""
+      s"""$keeperJson,$bpeJson,$lineJson,$pagerankJson}"""
     println(json)
     val w = new java.io.PrintWriter("stress_out.json")
     try w.println(json) finally w.close()

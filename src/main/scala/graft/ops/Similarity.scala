@@ -483,6 +483,72 @@ object Similarity {
     observed.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings with the IVF
+    * coarse quantizer, connect within-cluster pairs with cosine ≥
+    * `tau`, and elect the min-id member of each connected group as its
+    * keeper. Returns (id, keeper) for EVERY input row — keeper == id
+    * for uniques and null-embedding rows (a dedup filter must surface
+    * clean docs, not drop them; `filter(id === keeper)` keeps one copy
+    * per semantic group).
+    *
+    * Scale shape (the published algorithm's own cost model): cell
+    * assignment is one narrow pass through the native codegen
+    * `ivf_cell`; embeddings are unit-normalized ONCE per row (the
+    * pair predicate is then a single dot product); the pair join
+    * shuffles both sides on the cell id and is O(Σ|cell|²) — `nlist`
+    * controls the quadratic term exactly as in [[ivfSelfTopK]], AQE
+    * splits an oversized cell, and `metrics` observes the candidate
+    * count as the raise-nlist signal. Keeper election reuses the
+    * checkpointed GraphX CC core, whose output is proportional to the
+    * DUPLICATED subset only.
+    *
+    * Approximation contract (same honesty as the ANN surfaces): a
+    * cross-CLUSTER near-duplicate pair is not examined — that is
+    * SemDeDup's documented trade — but EXACT duplicates always share
+    * a cell (identical input → identical argmin), so the planted-twin
+    * oracle is closed-form.
+    */
+  def semanticDedup(spark: SparkSession, corpus: DataFrame, tau: Double,
+      nlist: Int = 16, seed: Long = 42L, maxTrain: Long = 200000L,
+      maxIter: Int = 20, idCol: String = "vec_id",
+      metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    // frame-session registration + null-row semantics: see ivfCellTopK
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val bc = fitQuantizer(spark, corpus, nlist, seed, maxTrain)
+    val centroidsLit = typedlit(bc.value.map(_.toSeq).toSeq)
+    // unit-normalize via zip_with against array_repeat: the norm stays
+    // in an ordinary argument position — evaluated once per ROW — with
+    // only lambda variables inside the HOF (the repo's recurring
+    // CollapseProject re-eval trap, engineered out the same way as the
+    // ANN unit-normalization)
+    val nrm = normCol(col("embedding"))
+    val safe = when(nrm > 0, nrm).otherwise(lit(1.0))
+    val unit = corpus.filter(col("embedding").isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        zip_with(col("embedding"),
+          array_repeat(safe, size(col("embedding"))),
+          (x, n) => (x / n).cast("float")).as("e"),
+        call_function("ivf_cell", col("embedding"), centroidsLit).as("cell"))
+    val a = unit.select(col("cell"), col("id").as("id_a"), col("e").as("e_a"))
+    val b = unit.select(col("cell"), col("id").as("id_b"), col("e").as("e_b"))
+    val pairs = a.join(b, "cell")
+      .filter(col("id_a") < col("id_b") &&
+        dotCol(col("e_a"), col("e_b")) >= tau)
+      .select("id_a", "id_b")
+    val observed = metrics match {
+      case None => pairs
+      case Some(obs) => pairs.observe(obs,
+        coalesce(count(lit(1)), lit(0L)).as("dup_pairs"))
+    }
+    val keepers = Dedup.connectedKeepers(spark, observed, maxIter)
+      .withColumnRenamed("doc_id", "id")
+    corpus.select(col(idCol).cast("long").as("id"))
+      .join(keepers, Seq("id"), "left")
+      .select(col("id"), coalesce(col("keeper"), col("id")).as("keeper"))
+  }
+
   /** LSH-bucketed top-k: corpus bucketed once by SRP signature; each
     * probe joins only its bucket. Recall grows with fewer bits /
     * multi-probe; the shuffle is bounded by bucket sizes.

@@ -52,7 +52,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // adaptive plan) — doc_url_canonical included, now that the
     // native canonical_url expression replaced the interpreted
     // higher-order lambdas in its hot projection
-    for (name <- Seq("doc_url_canonical", "doc_split_assign", "doc_quality")) {
+    for (name <- Seq("doc_url_canonical", "doc_split_assign", "doc_quality",
+        "doc_sample_stratified")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // finalize the adaptive plan — codegen `*(n)`
       // markers only appear once isFinalPlan=true
@@ -82,5 +83,41 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 5,
       s"line dedup grew to $exchanges exchanges — the two-shuffle-on-digest shape broke:\n$plan")
+  }
+
+  test("doc_bm25: per-term idf stats broadcast; texts never shuffle") {
+    val plan = planOf("doc_bm25")
+    assert(plan.contains("BroadcastExchange"),
+      s"idf side (|terms| rows) must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"every bm25 join side is bounded or pre-aggregated — no SMJ:\n$plan")
+    // only (doc_id, term) pairs ride hash exchanges: every shuffle
+    // sits above a partial HashAggregate, never above raw text rows
+    val shuffleLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffleLines.nonEmpty && shuffleLines.forall(!_.contains("text#")),
+      s"a hash exchange partitions on raw text in bm25:\n$plan")
+  }
+
+  test("kg_pagerank: cached edge⋈outdeg is reused across iterations") {
+    val df = SparkEntry.queries("kg_pagerank")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // 3 iterations must all read the SAME InMemoryRelation (one cache
+    // build, not one edge recompute per iteration)
+    val scans = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(scans >= 3,
+      s"pagerank iterations no longer read the cached edge table:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("doc_bloom_contamination: bloom prefilter sits before the confirm join") {
+    val plan = planOf("doc_bloom_contamination")
+    // confirm semi-join must be broadcast (benchmark side is bounded)
+    assert(plan.contains("BroadcastExchange"),
+      s"exact-confirm side must broadcast:\n$plan")
+    // the mightContain UDF filter must appear upstream of the join —
+    // i.e. at least one Filter containing a UDF exists
+    assert(plan.contains("UDF"),
+      s"bloom prefilter disappeared from the plan:\n$plan")
   }
 }
