@@ -124,7 +124,13 @@ object ScaleDecade {
     "ann_lsh_plant_top1" ->
       "probes_scale_with_corpus__measured_as_ann_lsh_plant_scaled",
     "ann_ivf_plant_top1" ->
-      "probes_scale_with_corpus__measured_as_ann_ivf_plant_scaled")
+      "probes_scale_with_corpus__measured_as_ann_ivf_plant_scaled",
+    // same O((n/nlist)^2)-per-cell law as ann_self_top1: the registry
+    // query pins nlist=16 for its closed-form oracle, so 10x corpus is
+    // 100x pair work BY PARAMETERIZATION; measured under nlist ~ n
+    // (flat cell size) the way SemDeDup sizes its cluster count
+    "dedup_semantic" ->
+      "fixed_nlist_oracle_parameterization__measured_as_dedup_semantic_scaled")
 
   private def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -198,6 +204,24 @@ object ScaleDecade {
       k = 1, nlist = nlist, nprobe = 2)
   }
 
+  /** Semantic dedup under its scale law: nlist ~ n keeps cell size (and
+    * so per-row pair work) flat; planted twins mirror the registry
+    * query's duplicate structure at both sizes. tau = 0.995 sits above
+    * THIS corpus's natural same-cluster cosine (~0.96 — the synthetic
+    * Gaussian clusters are tight by construction) so the measurement
+    * tracks the candidate SCAN (the nlist-bounded quadratic stage, the
+    * plan's scale law) rather than CC over an input-density-determined
+    * edge set; exact twins at cosine 1.0 still connect.
+    */
+  private def semanticDedupScaled(s: SparkSession, dir: String): DataFrame = {
+    val (e, m) = unitEmb(s, dir)
+    val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
+      col("embedding"))
+    val nlist = math.max(8, math.round(8 * m / 2000.0).toInt)
+    graft.ops.Similarity.semanticDedup(s, e.unionByName(planted),
+      tau = 0.995, nlist = nlist)
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val base = sys.env.getOrElse("SPARK_GRAFT_DECADE_DIR",
@@ -223,7 +247,9 @@ object ScaleDecade {
           "ann_lsh_plant_scaled" ->
             ((s: SparkSession, d: String) => lshPlantScaled(s, d)),
           "ann_ivf_plant_scaled" ->
-            ((s: SparkSession, d: String) => ivfPlantScaled(s, d))))
+            ((s: SparkSession, d: String) => ivfPlantScaled(s, d)),
+          "dedup_semantic_scaled" ->
+            ((s: SparkSession, d: String) => semanticDedupScaled(s, d))))
         .sortBy(_._1)
 
     val out = new StringBuilder

@@ -82,6 +82,18 @@ object GraftFunctions {
       "canonical_url", { exprs =>
         arity("canonical_url", 1)(exprs); CanonicalUrl(exprs.head)
       }, "built-in")
+    // Spark's OWN runtime-filter expression (the one AQE injects for
+    // shuffle pruning), surfaced by name: bloom_might_contain(<foldable
+    // binary bloom blob>, <xxhash64 long>). Registering it keeps the
+    // Bloom prefilter of bloomContamination inside codegen instead of
+    // a per-gram Scala UDF — same class the engine trusts for its own
+    // runtime filters, zero custom kernel code.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", { exprs =>
+        arity("bloom_might_contain", 2)(exprs)
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs.head, exprs(1))
+      }, "built-in")
   }
 
   def fnv1a64(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {

@@ -175,6 +175,19 @@ object Main {
           relations.as[graft.spark.Triple], nodes))
     }
 
+    // entity salience: PageRank over the canonicalized page→entity
+    // graph — the first consumer query of the materialized KG, run as
+    // a pipeline stage so every output ships a rank table. Resumable
+    // like every stage; bit-reproducible across cluster sizes (the
+    // decimal-sum contract in GraphOps.pagerank), so an N- and a
+    // 4N-executor run emit identical ranks.
+    stages.stage("entity_rank", stages.outputRowsOf("edges")) {
+      GraphOps.pagerank(spark,
+        edges.select(col("subj").as("src"), col("obj_entity").as("dst"))
+          .distinct(),
+        iters = 3)
+    }
+
     edges
   }
 

@@ -337,13 +337,26 @@ object TextAnalysis {
     // expectedNumItems from the checkpointed blocks — a cheap count,
     // no gram-pipeline re-execution
     val nGrams = math.max(bset.count(), 1L)
-    val bf = bset.stat.bloomFilter("gram", nGrams, fpp)
-    val bcBf = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((g: String) => g != null && bcBf.value.mightContainString(g))
+    // the filter is built over xxhash64(gram) longs and probed through
+    // Spark's OWN BloomFilterMightContain expression (the runtime-
+    // filter class AQE injects, registered as bloom_might_contain in
+    // GraftFunctions) — the per-gram hot path stays inside codegen;
+    // the serialized blob rides the plan as a foldable binary literal
+    // exactly like an AQE-injected runtime filter
+    GraftFunctions.register(spark)
+    GraftFunctions.register(docs.sparkSession)
+    val bf = bset.select(xxhash64(col("gram")).as("h"))
+      .stat.bloomFilter("h", nGrams, fpp)
+    val blob = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
     val cand = docs
       .select(col(idCol).as("doc_id"),
         explode(Dedup.ngramSet(col(textCol), n)).as("gram"))
-      .filter(mightContain(col("gram")))
+      .filter(call_function("bloom_might_contain", lit(blob),
+        xxhash64(col("gram"))))
     val hits = cand.join(broadcast(bset), Seq("gram"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
     docs.select(col(idCol).as("doc_id"))

@@ -115,9 +115,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // confirm semi-join must be broadcast (benchmark side is bounded)
     assert(plan.contains("BroadcastExchange"),
       s"exact-confirm side must broadcast:\n$plan")
-    // the mightContain UDF filter must appear upstream of the join —
-    // i.e. at least one Filter containing a UDF exists
-    assert(plan.contains("UDF"),
+    // the prefilter runs through Spark's native BloomFilterMightContain
+    // (codegen), never a Scala UDF
+    assert(plan.contains("might_contain"),
       s"bloom prefilter disappeared from the plan:\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"bloom prefilter regressed to a Scala UDF:\n$plan")
   }
 }

@@ -128,6 +128,16 @@ class MainPipelineSpec extends AnyFunSuite {
     assert(mentionEdges.forall(_.getAs[String]("obj") == "zzjohn zzdoe"),
       "the decoded span must be the planted name")
 
+    // the entity_rank stage materializes PageRank over the page→entity
+    // graph: every page url and the one canonical entity get a rank,
+    // and the entity (in-degree 8) outranks every page node
+    val ranks = spark.read.parquet(s"$dir/entity_rank")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val entityRank = ranks.filterKeys(!_.startsWith("doc://"))
+    assert(entityRank.size == 1, s"one canonical entity: ${ranks.keySet}")
+    assert(entityRank.values.head > ranks("doc://bl/0"),
+      "the mentioned entity must outrank its citing pages")
+
     graft.TestSpark.deleteRec(new java.io.File(dir))
     graft.TestSpark.deleteRec(new java.io.File(wdir))
   }
