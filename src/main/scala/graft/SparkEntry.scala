@@ -1274,6 +1274,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // per-node triangle counts (compact-forward: degree-ordered
+    // orientation bounds wedge fan-out at hub nodes)
+    "kg_triangles" -> ((s, dir) => {
+      graft.kg.GraphOps.triangles(s,
+          graft.kg.GraphOps.bigramEdges(t(s, dir, "documents")))
+        .orderBy("node")
+    }),
+
+    // fixed-iteration Bellman-Ford from one source over bigram-count
+    // weights (all-long min-plus relaxation — exact at any parallelism)
+    "kg_shortest_path" -> ((s, dir) => {
+      graft.kg.GraphOps.shortestPaths(s,
+          graft.kg.GraphOps.bigramEdges(t(s, dir, "documents")),
+          source = "spark", iters = 4)
+        .orderBy("node")
+    }),
+
     // 2-hop min-distance BFS from seed nodes (frontier expansion)
     "kg_nhop" -> ((s, dir) => {
       graft.kg.GraphOps.nhop(s,
@@ -1454,7 +1471,39 @@ object SparkEntry {
        |SELECT node, ROUND(rank, 10) AS rank FROM pr$iters ORDER BY node""".stripMargin
   }
 
+  /** Unrolled fixed-iteration Bellman-Ford replica of
+    * GraphOps.shortestPaths: min-plus over BIGINT weights, one
+    * relax-and-merge CTE per round.
+    */
+  private def bellmanFordOracle(source: String, iters: Int): String = {
+    val its = (1 to iters).map { i =>
+      s"""d$i AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT * FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, p.dist + e.weight AS dist
+         |  FROM edges e JOIN d${i - 1} p ON e.src = p.node) GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$graphEdgesCte,
+       |d0 AS (SELECT '$source' AS node, CAST(0 AS BIGINT) AS dist),
+       |$its
+       |SELECT node, dist FROM d$iters ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_triangles" ->
+      s"""$graphEdgesCte,
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         |        FROM edges WHERE src <> dst),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |n3 AS (SELECT a AS node FROM tri UNION ALL
+         |       SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT node, COUNT(*) AS n_triangles FROM n3
+         |GROUP BY node ORDER BY node""".stripMargin,
+    "kg_shortest_path" -> bellmanFordOracle("spark", 4),
     "kg_degrees" ->
       s"""$graphEdgesCte,
          |o AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY 1),

@@ -126,6 +126,77 @@ object GraphOps {
     pr
   }
 
+  /** Triangle count per node over the UNDIRECTED simple graph induced
+    * by the edge list (direction and weight dropped, self-loops
+    * removed). Classic compact-forward: orient every undirected edge
+    * from the lower-(degree, node) endpoint to the higher one — each
+    * triangle then has exactly ONE wedge of two out-edges at its
+    * lowest vertex, so one wedge self-join + one edge-membership
+    * semi-join counts each triangle once. The degree ordering is the
+    * scale lever: a hub's edges all point INTO it, so the wedge join
+    * fans out on low-degree vertices only — a 10^6-degree celebrity
+    * node contributes ZERO wedges instead of 10^12.
+    */
+  def triangles(spark: SparkSession, edges: DataFrame): DataFrame = {
+    // undirected simple edges as canonical (lo, hi) pairs
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient u->v iff (deg, name) of u < (deg, name) of v
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val oriented = und.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    // wedges at the lowest-ordered vertex; close them against the
+    // oriented edge set
+    val w1 = oriented.select(col("s"), col("t").as("x"))
+    val w2 = oriented.select(col("s"), col("t").as("y"))
+    val wedges = w1.join(w2, "s").filter(col("x") < col("y"))
+    val closed = wedges.join(
+      oriented.select(col("s").as("x"), col("t").as("y"))
+        .unionByName(oriented.select(col("t").as("x"), col("s").as("y"))),
+      Seq("x", "y"), "left_semi")
+    // per-node counts: each closed wedge (s, x, y) is one triangle on
+    // all three vertices
+    closed.select(explode(array(col("s"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Fixed-iteration single-source shortest paths (Bellman-Ford /
+    * min-plus relaxation, the Pregel textbook shape) over weighted
+    * edges (src, dst, weight:long). `iters` relaxation rounds bound
+    * the path length — distances to nodes further than `iters` hops
+    * are not final (documented; run V-1 rounds for the full
+    * fixed point). Each round is one frontierless relaxation:
+    * dist ⋈ edges on src (the rank-join shape of [[pagerank]], same
+    * exchange-reuse caching applies upstream), then a min-merge on
+    * dst. All-long arithmetic — exact, order-independent, oracled by
+    * unrolled SQL.
+    */
+  def shortestPaths(spark: SparkSession, edges: DataFrame, source: String,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    var dist = Seq(source).toDF("node").select(col("node"),
+      lit(0L).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"),
+          (col("dist") + col("weight")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
   /** Minimum-distance BFS from `seeds`, out to `hops` edge hops.
     * Returns (node, dist) for every node reachable within `hops`
     * (seeds at dist 0). Frontier-only expansion: iteration h joins

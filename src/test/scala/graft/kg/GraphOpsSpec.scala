@@ -74,6 +74,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r1 === r7) // exact ==, not tolerance: the decimal-sum contract
   }
 
+  test("triangles: counts per node on K4 minus an edge; hub orientation safe") {
+    // K4 on {a,b,c,d} minus edge (c,d): triangles abc and abd only.
+    // a and b sit on 2 each; c and d on 1 each. Edges given DIRECTED
+    // and with a duplicate + self-loop to exercise normalization.
+    val e = edges(("a", "b"), ("b", "a"), ("a", "c"), ("c", "b"),
+      ("a", "d"), ("d", "b"), ("a", "a"))
+    val t = GraphOps.triangles(spark, e)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(t === Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+  }
+
+  test("triangles: triangle-free graph returns no rows") {
+    val e = edges(("a", "b"), ("b", "c"), ("c", "d")) // path: no triangles
+    assert(GraphOps.triangles(spark, e).count() === 0L)
+  }
+
+  test("shortestPaths: min-plus relaxation takes the cheaper 2-hop route") {
+    import spark.implicits._
+    // s->a (10), s->b (1), b->a (2): dist(a)=3 via b, not 10 direct
+    val e = Seq(("s", "a", 10L), ("s", "b", 1L), ("b", "a", 2L))
+      .toDF("src", "dst", "weight")
+    val d = GraphOps.shortestPaths(spark, e, "s", iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d === Map("s" -> 0L, "a" -> 3L, "b" -> 1L))
+    // one round only: the 2-hop relaxation hasn't propagated yet
+    val d1 = GraphOps.shortestPaths(spark, e, "s", iters = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d1("a") === 10L)
+  }
+
   test("nhop: min-distance BFS; unreachable nodes absent; seeds at 0") {
     // chain a->b->c->d plus shortcut a->c
     val e = edges(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
