@@ -254,8 +254,13 @@ object Bench {
     // explained from suite-level query_env after the fact)
     val sampleLog = scala.collection.mutable.LinkedHashMap[String, String]()
     val suspects = scala.collection.mutable.ArrayBuffer[String]()
+    // dev-only A/B subset filter (comma-separated names); unset in the
+    // driver's invocation → all queries
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results = (if (doQueries) SparkEntry.queries
       else Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      .filter { case (n, _) => benchOnly.forall(_.contains(n)) }
       .map { case (name, fn) =>
       // full materialization: every output row of every column is
       // produced (toRdd sits above all projections; count() would let
