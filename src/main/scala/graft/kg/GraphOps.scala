@@ -123,7 +123,14 @@ object GraphOps {
             coalesce(col("s").cast("double"), lit(0.0)), scale).as("rank"))
       if (i % checkpointEvery == 0) pr = pr.localCheckpoint(true)
     }
-    pr
+    // materialize the final ranks (one (node, double) row per node),
+    // then free the iteration caches — without this every pagerank
+    // call pins its edge⋈outdeg table in executor memory for the life
+    // of the session
+    val out = pr.localCheckpoint(true)
+    nodes.unpersist(blocking = false)
+    eo.unpersist(blocking = false)
+    out
   }
 
   /** Triangle count per node over the UNDIRECTED simple graph induced

@@ -43,9 +43,26 @@ object Cc {
       maxIter: Int = 20): DataFrame = {
     GraphCheckpoint.ensureDir(spark.sparkContext)
     val es = edges.map { case (a, b) => Edge(a, b, ()) }
-    val cc = Graph.fromEdges(es, defaultValue = ())
-      .partitionBy(PartitionStrategy.EdgePartition2D)
-      .connectedComponents(maxIter)
-    spark.createDataFrame(cc.vertices).toDF("id", "component")
+    // keep a handle on BOTH graphs: partitionBy replaces the edge RDD,
+    // and the pre-partition edges cache too once materialized
+    val g0 = Graph.fromEdges(es, defaultValue = ())
+    val g = g0.partitionBy(PartitionStrategy.EdgePartition2D)
+    val cc = g.connectedComponents(maxIter)
+    // GraphX leaves the result graph (and its cached input) persistent
+    // after connectedComponents — in a long-lived session (the bench
+    // suite, a multi-batch driver) every CC call would pin another
+    // graph in executor memory for the life of the app. Copy the label
+    // table out eagerly (bounded: one (long, long) row per vertex that
+    // appears in an edge), then free both graphs.
+    val out = spark.createDataFrame(cc.vertices)
+      .toDF("id", "component")
+      .localCheckpoint(true)
+    cc.unpersistVertices(blocking = false)
+    cc.edges.unpersist(blocking = false)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    g0.unpersistVertices(blocking = false)
+    g0.edges.unpersist(blocking = false)
+    out
   }
 }

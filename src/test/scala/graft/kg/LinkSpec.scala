@@ -87,7 +87,14 @@ class LinkSpec extends AnyFunSuite {
     // the test session sets checkpointInterval=2 (TestSpark);
     // components() provides a temp checkpoint dir if none is set. A
     // 12-node path graph needs ~12 min-id propagation rounds, so
-    // several Pregel iterations checkpoint along the way.
+    // several Pregel iterations checkpoint along the way — and
+    // checkpointing with the interval SET but no directory THROWS
+    // ("Checkpoint directory has not been set"), so a completed run IS
+    // the proof that ensureDir armed a working directory before Pregel
+    // needed it. Leftover rdd-* files are deliberately NOT asserted:
+    // Pregel deletes its periodic checkpoints on completion
+    // (deleteAllCheckpoints) and Cc frees the graphs — temporary files
+    // are supposed to be gone afterwards.
     assert(spark.sparkContext.getConf
       .getInt("spark.graphx.pregel.checkpointInterval", -1) == 2)
     val chain = (1 until 12).map(i => (f"cc node $i%02d", f"cc node ${i + 1}%02d"))
@@ -96,9 +103,14 @@ class LinkSpec extends AnyFunSuite {
     val comps = membership.collect().map(r => (r.getString(0), r.getLong(1)))
     assert(comps.length == 12)
     assert(comps.map(_._2).distinct.length == 1, "one chain component")
-    // checkpoint dir was set and RDD checkpoints were actually written
+    // the dir ensureDir armed is set and usable: a direct reliable
+    // checkpoint through it materializes rdd-* data
     val dir = spark.sparkContext.getCheckpointDir
     assert(dir.nonEmpty, "components() must ensure a checkpoint dir")
+    val probe = spark.sparkContext.parallelize(1 to 10, 2)
+    probe.checkpoint()
+    probe.count()
+    assert(probe.isCheckpointed, "probe RDD must checkpoint through the dir")
     def hasRddDir(f: java.io.File): Boolean =
       f.isDirectory && (f.getName.startsWith("rdd-") ||
         (f.listFiles != null && f.listFiles.exists(hasRddDir)))
