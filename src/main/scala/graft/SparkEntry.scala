@@ -1274,6 +1274,16 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // personalized PageRank: reset mass concentrated on two seed
+    // tokens — topic-sensitive salience, same decimal-sum determinism
+    "kg_ppr" -> ((s, dir) => {
+      graft.kg.GraphOps.pagerank(s,
+          graft.kg.GraphOps.bigramEdges(t(s, dir, "documents")),
+          iters = 3, seeds = Some(Seq("spark", "query")))
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy("node")
+    }),
+
     // per-node triangle counts (compact-forward: degree-ordered
     // orientation bounds wedge fan-out at hub nodes)
     "kg_triangles" -> ((s, dir) => {
@@ -1448,11 +1458,28 @@ object SparkEntry {
     * nearest double to 0.15, and the Scala side computes the
     * subtraction.
     */
-  private def pagerankOracle(iters: Int): String = {
+  private def pagerankOracle(iters: Int,
+      seeds: Option[Seq[String]] = None): String = {
+    // uniform: base = (1-d)/N, init = 1/N; personalized: both
+    // concentrate on the seed set — same expression SHAPES the Scala
+    // side computes, so the IEEE doubles agree bit-for-bit
+    val (baseSql, initSql) = seeds match {
+      case None =>
+        ("(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/nn.n",
+          "CAST(1.0 AS DOUBLE)/(SELECT n FROM nn)")
+      case Some(s) =>
+        val inList = s.distinct.map("'" + _ + "'").mkString(", ")
+        val nS = s.distinct.size
+        (s"CASE WHEN n.node IN ($inList) THEN " +
+          s"(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/$nS " +
+          "ELSE CAST(0.0 AS DOUBLE) END",
+          s"CASE WHEN node IN ($inList) THEN CAST(1.0 AS DOUBLE)/$nS " +
+            "ELSE CAST(0.0 AS DOUBLE) END")
+    }
     val its = (1 to iters).map { i =>
       s"""pr$i AS (
          |  SELECT n.node,
-         |    ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/nn.n +
+         |    ROUND($baseSql +
          |      CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.c, 0) AS DOUBLE), 12) AS rank
          |  FROM nodes n CROSS JOIN nn
          |  LEFT JOIN (
@@ -1465,7 +1492,7 @@ object SparkEntry {
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
        |od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-       |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS rank
+       |pr0 AS (SELECT node, $initSql AS rank
        |        FROM nodes),
        |$its
        |SELECT node, ROUND(rank, 10) AS rank FROM pr$iters ORDER BY node""".stripMargin
@@ -1513,6 +1540,7 @@ object SparkEntry {
          |  CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg
          |FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node""".stripMargin,
     "kg_pagerank" -> pagerankOracle(3),
+    "kg_ppr" -> pagerankOracle(3, seeds = Some(Seq("spark", "query"))),
     "kg_nhop" ->
       s"""$graphEdgesCte,
          |seeds AS (SELECT UNNEST(['spark', 'query']) AS node),

@@ -92,10 +92,17 @@ object GraphOps {
     * DECIMAL(38,15) — exact, order-independent — so the result is
     * bit-identical at any parallelism. DuckDB replicates the same
     * arithmetic; `kg_pagerank` is hash-oracled.
+    *
+    * `seeds` switches to PERSONALIZED PageRank (topic-sensitive
+    * salience — "entities important relative to THESE"): the reset
+    * mass (1-d) concentrates uniformly on the seed set instead of
+    * spreading 1/N everywhere, and the walk starts from the seeds.
+    * Same arithmetic contract; `kg_ppr` is hash-oracled.
     */
   def pagerank(spark: SparkSession, edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85, scale: Int = 12,
-      checkpointEvery: Int = Int.MaxValue): DataFrame = {
+      checkpointEvery: Int = Int.MaxValue,
+      seeds: Option[Seq[String]] = None): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
       .distinct()
@@ -109,8 +116,17 @@ object GraphOps {
     val eo = edges.select("src", "dst").join(outdeg, "src")
       .repartition(col("src"))
       .cache()
-    val base = lit((1.0 - damping) / n)
-    var pr = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    val (base, init) = seeds match {
+      case None =>
+        (lit((1.0 - damping) / n), lit(1.0 / n))
+      case Some(s) =>
+        require(s.nonEmpty, "personalized pagerank needs ≥1 seed")
+        val inSeed = col("node").isin(s.distinct: _*)
+        val nS = s.distinct.size
+        (when(inSeed, lit((1.0 - damping) / nS)).otherwise(lit(0.0)),
+          when(inSeed, lit(1.0 / nS)).otherwise(lit(0.0)))
+    }
+    var pr = nodes.select(col("node"), init.as("rank"))
     for (i <- 1 to iters) {
       val contrib = eo.join(pr, eo("src") === pr("node"))
         .select(col("dst"),

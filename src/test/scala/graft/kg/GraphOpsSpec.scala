@@ -74,6 +74,22 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r1 === r7) // exact ==, not tolerance: the decimal-sum contract
   }
 
+  test("personalized pagerank: reset mass stays near the seed; distant nodes get zero") {
+    // chain a->b->c->d->a (cycle). Seeded at a: after 1 iteration only
+    // a (reset) and b (a's walk) hold mass; d holds 0.
+    val e = edges(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val pr1 = GraphOps.pagerank(spark, e, iters = 1, seeds = Some(Seq("a")))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(pr1("a") === 0.15)           // pure reset mass
+    assert(math.abs(pr1("b") - 0.85) < 1e-9) // the whole walk mass
+    assert(pr1("c") === 0.0 && pr1("d") === 0.0)
+    // more iterations: mass propagates around the cycle, total stays 1
+    val pr3 = GraphOps.pagerank(spark, e, iters = 3, seeds = Some(Seq("a")))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(pr3.values.sum - 1.0) < 1e-9)
+    assert(pr3("a") > pr3("c"))
+  }
+
   test("triangles: counts per node on K4 minus an edge; hub orientation safe") {
     // K4 on {a,b,c,d} minus edge (c,d): triangles abc and abd only.
     // a and b sit on 2 each; c and d on 1 each. Edges given DIRECTED
