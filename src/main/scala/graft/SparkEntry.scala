@@ -1292,6 +1292,15 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // deterministic label-propagation communities (min-label
+    // tie-break; 2 synchronous rounds)
+    "kg_communities" -> ((s, dir) => {
+      graft.kg.GraphOps.labelPropagation(s,
+          graft.kg.GraphOps.bigramEdges(t(s, dir, "documents")),
+          rounds = 2)
+        .orderBy("node")
+    }),
+
     // fixed-iteration Bellman-Ford from one source over bigram-count
     // weights (all-long min-plus relaxation — exact at any parallelism)
     "kg_shortest_path" -> ((s, dir) => {
@@ -1517,7 +1526,31 @@ object SparkEntry {
        |SELECT node, dist FROM d$iters ORDER BY node""".stripMargin
   }
 
+  /** Unrolled synchronous label-propagation replica of
+    * GraphOps.labelPropagation: same undirected expansion, the same
+    * (count desc, label asc) argmax per round.
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val its = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT nb.node, l.label, COUNT(*) AS cnt
+         |  FROM nb JOIN l${i - 1} l ON l.node = nb.nbr GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (
+         |  SELECT node, label, ROW_NUMBER() OVER (
+         |    PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk
+         |  FROM c$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$graphEdgesCte,
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |        FROM edges WHERE src <> dst),
+       |nb AS (SELECT u AS nbr, v AS node FROM und
+       |       UNION ALL SELECT v AS nbr, u AS node FROM und),
+       |l0 AS (SELECT DISTINCT node, node AS label FROM nb),
+       |$its
+       |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_communities" -> lpaOracle(2),
     "kg_triangles" ->
       s"""$graphEdgesCte,
          |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v

@@ -3,6 +3,7 @@ package graft.kg
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
 
 /** Graph analytics over the materialized KG edge tables — the query
   * layer a knowledge-graph construction pipeline feeds (north star:
@@ -218,6 +219,49 @@ object GraphOps {
         .groupBy("node").agg(min(col("dist")).as("dist"))
     }
     dist
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, the deterministic variant) over the UNDIRECTED graph:
+    * every node starts in its own community (label = own name); each
+    * round it adopts the most frequent label among its neighbors,
+    * breaking frequency ties by SMALLEST label — the determinism
+    * device that makes the synchronous schedule reproducible and
+    * SQL-replicable (classic LPA breaks ties randomly; any fixed
+    * total order gives the same convergence guarantees).
+    *
+    * Scale shape per round: one join of the (node, label) table
+    * against the undirected edge list (shuffles the label side — the
+    * same rank-join shape as [[pagerank]]), one map-side-combinable
+    * (node, label) count, and one per-node argmax window over ≤
+    * distinct-neighbor-labels rows. All string/long ops — exact at any
+    * parallelism; `kg_communities` is hash-oracled via unrolled SQL.
+    */
+  def labelPropagation(spark: SparkSession, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val both = und.select(col("u").as("nbr"), col("v").as("node"))
+      .unionByName(und.select(col("v").as("nbr"), col("u").as("node")))
+      .cache()
+    var labels = both.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val counts = both.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = counts
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("label"))
+    }
+    val out = labels.localCheckpoint(true)
+    both.unpersist(blocking = false)
+    out
   }
 
   /** Minimum-distance BFS from `seeds`, out to `hops` edge hops.

@@ -120,6 +120,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(d1("a") === 10L)
   }
 
+  test("labelPropagation: two cliques bridged by one edge settle into two communities") {
+    // triangle {a1,a2,a3} + triangle {b1,b2,b3} + bridge a3-b1
+    val e = edges(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1"))
+    val l = GraphOps.labelPropagation(spark, e, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // min-label tie-break pulls each clique to its smallest member
+    assert(Set("a1", "a2", "a3").map(l) === Set("a1"))
+    assert(l("b2") === l("b3"))
+    // community count: the a-clique and the b-clique never merge (the
+    // bridge is outvoted by each side's two clique neighbors)
+    assert(l.values.toSet.size >= 2)
+  }
+
+  test("labelPropagation: deterministic across partition counts") {
+    val base = docs(
+      "a b c a d e b f g a", "c a d b e f", "g a b c d", "f e d c b a")
+    val l1 = GraphOps.labelPropagation(spark,
+        GraphOps.bigramEdges(base.repartition(1)), rounds = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val l7 = GraphOps.labelPropagation(spark,
+        GraphOps.bigramEdges(base.repartition(7)), rounds = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(l1 === l7)
+  }
+
   test("nhop: min-distance BFS; unreachable nodes absent; seeds at 0") {
     // chain a->b->c->d plus shortcut a->c
     val e = edges(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
