@@ -259,13 +259,23 @@ object ScaleDecade {
       // adaptive second 10x sample before any super-linear flag
       val (a1, _) = time(fn(spark, dir1))
       val (b1, rows1) = time(fn(spark, dir1))
-      val s1 = math.min(a1, b1)
+      var s1 = math.min(a1, b1)
       val l10 = loadAvg()
       var (s10, rows10) = time(fn(spark, dir10))
       var resampled = false
+      // a would-be flag re-samples BOTH sides before it sticks: a
+      // co-tenant/GC blip can land on the 10x sample, and an
+      // anomalously FAST 1x best inflates the ratio just the same
+      // (observed: a scan op flagged 17x from a 0.2 s 1x fluke + a
+      // 3.5 s 10x pause; its steady-state ratio is ~1.3) — min over
+      // the extra pair on each side restores the steady-state floor
       if (s10 / math.max(s1, 1e-3) > 10 * slack) {
-        val (r, _) = time(fn(spark, dir10))
-        s10 = math.min(s10, r); resampled = true
+        val (r10a, _) = time(fn(spark, dir10))
+        val (r10b, _) = time(fn(spark, dir10))
+        val (r1, _) = time(fn(spark, dir1))
+        s10 = Seq(s10, r10a, r10b).min
+        s1 = Seq(a1, b1, r1).sorted.apply(1) // median of three
+        resampled = true
       }
       val ratio = s10 / math.max(s1, 1e-3)
       val superlinear = ratio > 10 * slack
