@@ -1274,6 +1274,16 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // weighted PageRank (TextRank proper): outgoing rank split by
+    // bigram co-occurrence count instead of uniformly
+    "kg_pagerank_weighted" -> ((s, dir) => {
+      graft.kg.GraphOps.pagerank(s,
+          graft.kg.GraphOps.bigramEdges(t(s, dir, "documents")),
+          iters = 3, weighted = true)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy("node")
+    }),
+
     // personalized PageRank: reset mass concentrated on two seed
     // tokens — topic-sensitive salience, same decimal-sum determinism
     "kg_ppr" -> ((s, dir) => {
@@ -1468,7 +1478,11 @@ object SparkEntry {
     * subtraction.
     */
   private def pagerankOracle(iters: Int,
-      seeds: Option[Seq[String]] = None): String = {
+      seeds: Option[Seq[String]] = None,
+      weighted: Boolean = false): String = {
+    val odExpr = if (weighted) "SUM(weight)" else "COUNT(*)"
+    val shareExpr =
+      if (weighted) "p.rank * e.weight/od.outdeg" else "p.rank/od.outdeg"
     // uniform: base = (1-d)/N, init = 1/N; personalized: both
     // concentrate on the seed set — same expression SHAPES the Scala
     // side computes, so the IEEE doubles agree bit-for-bit
@@ -1493,14 +1507,14 @@ object SparkEntry {
          |  FROM nodes n CROSS JOIN nn
          |  LEFT JOIN (
          |    SELECT e.dst,
-         |      SUM(CAST(ROUND(p.rank/od.outdeg, 12) AS DECIMAL(38,15))) AS c
+         |      SUM(CAST(ROUND($shareExpr, 12) AS DECIMAL(38,15))) AS c
          |    FROM edges e JOIN od USING (src) JOIN pr${i - 1} p ON p.node = e.src
          |    GROUP BY e.dst) s ON s.dst = n.node)""".stripMargin
     }.mkString(",\n")
     s"""$graphEdgesCte,
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-       |od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |od AS (SELECT src, $odExpr AS outdeg FROM edges GROUP BY src),
        |pr0 AS (SELECT node, $initSql AS rank
        |        FROM nodes),
        |$its
@@ -1574,6 +1588,7 @@ object SparkEntry {
          |FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node""".stripMargin,
     "kg_pagerank" -> pagerankOracle(3),
     "kg_ppr" -> pagerankOracle(3, seeds = Some(Seq("spark", "query"))),
+    "kg_pagerank_weighted" -> pagerankOracle(3, weighted = true),
     "kg_nhop" ->
       s"""$graphEdgesCte,
          |seeds AS (SELECT UNNEST(['spark', 'query']) AS node),

@@ -99,22 +99,33 @@ object GraphOps {
     * mass (1-d) concentrates uniformly on the seed set instead of
     * spreading 1/N everywhere, and the walk starts from the seeds.
     * Same arithmetic contract; `kg_ppr` is hash-oracled.
+    *
+    * `weighted = true` splits each node's outgoing rank proportionally
+    * to the LONG `weight` edge column instead of uniformly (the
+    * TextRank formulation — co-occurrence counts as transition mass):
+    * contribution = round(rank * w / Σw_out, scale), with Σw_out an
+    * exact long sum. Same determinism; `kg_pagerank_weighted` is
+    * hash-oracled.
     */
   def pagerank(spark: SparkSession, edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85, scale: Int = 12,
       checkpointEvery: Int = Int.MaxValue,
-      seeds: Option[Seq[String]] = None): DataFrame = {
+      seeds: Option[Seq[String]] = None,
+      weighted: Boolean = false): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
       .distinct()
       .repartition(col("node"))
       .cache()
     val n = nodes.count()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val outdeg =
+      if (weighted) edges.groupBy("src").agg(sum(col("weight")).as("outdeg"))
+      else edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // edge ⋈ outdeg once, up front; cached partitioned on src so each
     // iteration's rank join reuses the partitioning (rank side shuffles,
     // edges do not).
-    val eo = edges.select("src", "dst").join(outdeg, "src")
+    val eCols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
+    val eo = edges.select(eCols.map(col): _*).join(outdeg, "src")
       .repartition(col("src"))
       .cache()
     val (base, init) = seeds match {
@@ -129,10 +140,12 @@ object GraphOps {
     }
     var pr = nodes.select(col("node"), init.as("rank"))
     for (i <- 1 to iters) {
+      val share =
+        if (weighted) col("rank") * col("weight") / col("outdeg")
+        else col("rank") / col("outdeg")
       val contrib = eo.join(pr, eo("src") === pr("node"))
         .select(col("dst"),
-          round(col("rank") / col("outdeg"), scale)
-            .cast(DecimalType(38, 15)).as("c"))
+          round(share, scale).cast(DecimalType(38, 15)).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
       pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),

@@ -74,6 +74,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r1 === r7) // exact ==, not tolerance: the decimal-sum contract
   }
 
+  test("weighted pagerank: outgoing rank splits by edge weight, not uniformly") {
+    import spark.implicits._
+    // a->b w=3, a->c w=1 (3:1 split), b->a w=1, c->a w=1
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "weight")
+    val pr = GraphOps.pagerank(spark, e, iters = 1, weighted = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val third = 1.0 / 3
+    assert(math.abs(pr("a") - (0.15 / 3 + 0.85 * (third + third))) < 1e-9)
+    assert(math.abs(pr("b") - (0.15 / 3 + 0.85 * (third * 3 / 4))) < 1e-9)
+    assert(math.abs(pr("c") - (0.15 / 3 + 0.85 * (third * 1 / 4))) < 1e-9)
+    assert(pr("b") > pr("c")) // the heavier edge carries more mass
+  }
+
   test("personalized pagerank: reset mass stays near the seed; distant nodes get zero") {
     // chain a->b->c->d->a (cycle). Seeded at a: after 1 iteration only
     // a (reset) and b (a's walk) hold mass; d holds 0.
