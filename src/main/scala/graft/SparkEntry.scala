@@ -1320,6 +1320,59 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // dangling-mass-redistributing PageRank (classic crawl-graph
+    // semantics: rank parked on out-degree-0 nodes folds back each
+    // iteration instead of leaking). The token graph has no natural
+    // sinks, so a hub's out-edges are removed up front — 'spark'
+    // becomes a planted dangling node that receives mass but emits
+    // none; the oracle filters the same edge and adds one exact
+    // decimal scalar CTE per iteration.
+    "kg_pagerank_dangling" -> ((s, dir) => {
+      graft.kg.GraphOps.pagerank(s,
+          graft.kg.GraphOps.bigramEdges(t(s, dir, "documents"))
+            .filter(col("src") =!= "spark"),
+          iters = 3, danglingRedistribute = true)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy("node")
+    }),
+
+    // PageRank over the CANONICAL ENTITY graph — the pipeline's
+    // `entity_rank` stage shape (Main.scala), end-to-end through the
+    // REAL path: planted-mention extraction → gold mentions → triples
+    // → name vocab → exact-norm linking → GraphX CC → canonical
+    // entities → canonicalEdges → pagerank over (page → obj_entity).
+    // Entity nodes are pure sinks (a page→entity bipartite graph), so
+    // this runs the dangling-redistribution mode — the semantics a
+    // real crawl ranking needs. The oracle rebuilds the edge table in
+    // closed form (the kg_triples plant) with the entity ids as
+    // generator-computed FNV constants, then replays the same unrolled
+    // dangling PageRank.
+    "kg_entity_pagerank" -> ((s, dir) => {
+      val varied = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("lang"),
+        expr("""array_join(transform(split(text, ' '), (t, i) ->
+          CASE WHEN i % 31 = 5 THEN 'zzjohn'
+               WHEN i % 31 = 6 THEN 'zzdoe'
+               WHEN i % 31 = 20 THEN 'zzann'
+               ELSE t END), ' ')""").as("text"))
+      val pages = graft.corpus.SynthPages.fromDocuments(s, varied)
+      val sents = graft.spark.ExtractStage.sentences(s, pages,
+        targetNamesFn = Some((_: String) => Seq("zzjohn zzdoe", "zzann")))
+      val mentions = graft.kg.Triples.goldMentions(s, sents)
+      val triples = graft.kg.Triples.fromMentions(s, mentions)
+      val vocab = graft.kg.Linker.nameVocab(s, triples)
+      val links = graft.kg.Linker.exactNormLinks(s, vocab)
+      val membership = graft.kg.Canonicalize.components(s, links)
+      val nodes = graft.kg.Canonicalize.entities(s, vocab, membership)
+      val edges = graft.kg.Canonicalize.canonicalEdges(s, triples, nodes)
+      graft.kg.GraphOps.pagerank(s,
+          edges.select(col("subj").as("src"), col("obj_entity").as("dst"))
+            .distinct(),
+          iters = 3, danglingRedistribute = true)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy("node")
+    }),
+
     // 2-hop min-distance BFS from seed nodes (frontier expansion)
     "kg_nhop" -> ((s, dir) => {
       graft.kg.GraphOps.nhop(s,
@@ -1469,6 +1522,37 @@ object SparkEntry {
       |edges AS (SELECT z[1] AS src, z[2] AS dst, COUNT(*) AS weight
       |  FROM pairs WHERE z[2] IS NOT NULL GROUP BY 1, 2)""".stripMargin
 
+  /** Token co-occurrence edges with a predicate applied — the planted
+    * dangling-node variant for `kg_pagerank_dangling`.
+    */
+  private def graphEdgesCteFiltered(pred: String): String =
+    s"""WITH toks AS (SELECT STRING_SPLIT(text, ' ') AS w FROM documents),
+       |pairs AS (SELECT UNNEST(LIST_ZIP(w, w[2:])) AS z FROM toks),
+       |edges0 AS (SELECT z[1] AS src, z[2] AS dst, COUNT(*) AS weight
+       |  FROM pairs WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+       |edges AS (SELECT * FROM edges0 WHERE $pred)""".stripMargin
+
+  /** Closed-form page→entity edge table for `kg_entity_pagerank`: the
+    * kg_triples plant (docs with ≥7 tokens mention 'zzjohn zzdoe',
+    * ≥21 also 'zzann'; both names are singleton entities under
+    * exact-norm linking, so obj_entity is the FNV-1a constant the
+    * generator computes — the same closed-form device as the planted
+    * ANN oracles).
+    */
+  private def entityEdgesCte: String = {
+    val e1 = f"person:${graft.kg.Canonicalize.nameId("zzjohn zzdoe")}%016x"
+    val e2 = f"person:${graft.kg.Canonicalize.nameId("zzann")}%016x"
+    s"""WITH d AS (
+       |  SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n
+       |  FROM documents),
+       |edges AS (
+       |  SELECT 'doc://' || source || '/' || doc_id AS src,
+       |    '$e1' AS dst, 1 AS weight FROM d WHERE n >= 7
+       |  UNION ALL
+       |  SELECT 'doc://' || source || '/' || doc_id AS src,
+       |    '$e2' AS dst, 1 AS weight FROM d WHERE n >= 21)""".stripMargin
+  }
+
   /** Unrolled fixed-iteration PageRank replica of GraphOps.pagerank:
     * same per-iteration double ops in the same association, the same
     * round-to-12dp, and the same exact DECIMAL(38,15) contribution sum,
@@ -1479,7 +1563,9 @@ object SparkEntry {
     */
   private def pagerankOracle(iters: Int,
       seeds: Option[Seq[String]] = None,
-      weighted: Boolean = false): String = {
+      weighted: Boolean = false,
+      dangling: Boolean = false,
+      edgesCte: String = graphEdgesCte): String = {
     val odExpr = if (weighted) "SUM(weight)" else "COUNT(*)"
     val shareExpr =
       if (weighted) "p.rank * e.weight/od.outdeg" else "p.rank/od.outdeg"
@@ -1499,19 +1585,34 @@ object SparkEntry {
           s"CASE WHEN node IN ($inList) THEN CAST(1.0 AS DOUBLE)/$nS " +
             "ELSE CAST(0.0 AS DOUBLE) END")
     }
+    // dangling mode: one exact-decimal scalar CTE per iteration (the
+    // rank parked on out-degree-0 nodes), folded into the update the
+    // same way GraphOps.prState's step does: d * (recv + DM/N)
+    val recvSql =
+      if (dangling)
+        "(CAST(COALESCE(s.c, 0) AS DOUBLE) + CAST(dm%d.dm AS DOUBLE)/nn.n)"
+      else "CAST(COALESCE(s.c, 0) AS DOUBLE)"
     val its = (1 to iters).map { i =>
-      s"""pr$i AS (
+      val dmCte = if (dangling)
+        s"""dm$i AS (
+           |  SELECT COALESCE(SUM(CAST(p.rank AS DECIMAL(38,15))),
+           |    CAST(0 AS DECIMAL(38,15))) AS dm
+           |  FROM pr${i - 1} p WHERE p.node NOT IN (SELECT src FROM od)),
+           |""".stripMargin
+      else ""
+      val dmJoin = if (dangling) s" CROSS JOIN dm$i" else ""
+      s"""${dmCte}pr$i AS (
          |  SELECT n.node,
          |    ROUND($baseSql +
-         |      CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.c, 0) AS DOUBLE), 12) AS rank
-         |  FROM nodes n CROSS JOIN nn
+         |      CAST(0.85 AS DOUBLE) * ${recvSql.format(i)}, 12) AS rank
+         |  FROM nodes n CROSS JOIN nn$dmJoin
          |  LEFT JOIN (
          |    SELECT e.dst,
          |      SUM(CAST(ROUND($shareExpr, 12) AS DECIMAL(38,15))) AS c
          |    FROM edges e JOIN od USING (src) JOIN pr${i - 1} p ON p.node = e.src
          |    GROUP BY e.dst) s ON s.dst = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""$graphEdgesCte,
+    s"""$edgesCte,
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
        |od AS (SELECT src, $odExpr AS outdeg FROM edges GROUP BY src),
@@ -1589,6 +1690,10 @@ object SparkEntry {
     "kg_pagerank" -> pagerankOracle(3),
     "kg_ppr" -> pagerankOracle(3, seeds = Some(Seq("spark", "query"))),
     "kg_pagerank_weighted" -> pagerankOracle(3, weighted = true),
+    "kg_pagerank_dangling" -> pagerankOracle(3, dangling = true,
+      edgesCte = graphEdgesCteFiltered("src <> 'spark'")),
+    "kg_entity_pagerank" -> pagerankOracle(3, dangling = true,
+      edgesCte = entityEdgesCte),
     "kg_nhop" ->
       s"""$graphEdgesCte,
          |seeds AS (SELECT UNNEST(['spark', 'query']) AS node),

@@ -106,12 +106,97 @@ object GraphOps {
     * contribution = round(rank * w / Σw_out, scale), with Σw_out an
     * exact long sum. Same determinism; `kg_pagerank_weighted` is
     * hash-oracled.
+    *
+    * `danglingRedistribute = true` folds the mass parked on
+    * out-degree-0 nodes back in each iteration (classic PageRank on a
+    * real crawl graph, where 20-30% of nodes are dangling and the
+    * leak-by-default semantics shrink total rank per iteration):
+    *
+    *   pr_t+1(v) = round(base + d * (S_t(v) + DM_t / N), scale)
+    *   DM_t      = Σ_{u: outdeg(u)=0} decimal(pr_t(u))
+    *
+    * DM_t is an exact DECIMAL(38,15) sum over the dangling node set
+    * (computed once, up front, as an anti-join against the out-degree
+    * table) that rides into the per-node update as a one-row cross
+    * join — one extra scalar aggregation per iteration, never a
+    * driver-side action, and the bit-reproducibility contract holds
+    * unchanged. `kg_pagerank_dangling` is hash-oracled with the same
+    * unrolled-CTE generator plus one scalar CTE per iteration. The
+    * default stays the leak semantics (the oracle mode of the other
+    * five pagerank queries).
     */
   def pagerank(spark: SparkSession, edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85, scale: Int = 12,
       checkpointEvery: Int = Int.MaxValue,
       seeds: Option[Seq[String]] = None,
-      weighted: Boolean = false): DataFrame = {
+      weighted: Boolean = false,
+      danglingRedistribute: Boolean = false): DataFrame = {
+    val st = prState(edges, damping, scale, seeds, weighted,
+      danglingRedistribute)
+    // try/finally: an iteration job that dies must not leave the
+    // edge⋈outdeg and node caches pinned in executor memory for the
+    // life of the session
+    try {
+      var pr = st.init
+      for (i <- 1 to iters) {
+        pr = st.step(pr)
+        if (i % checkpointEvery == 0) pr = pr.localCheckpoint(true)
+      }
+      // materialize the final ranks (one (node, double) row per node)
+      // before the finally block frees the iteration caches
+      pr.localCheckpoint(true)
+    } finally st.close()
+  }
+
+  /** Convergence-terminated PageRank for production use: iterates
+    * [[pagerank]]'s exact step until the L1 rank delta — an exact
+    * DECIMAL(38,15) sum of per-node |pr_t+1 - pr_t|, so the stopping
+    * decision is itself bit-reproducible at any parallelism — falls to
+    * `tol` or `maxIters` is hit. Fixed-iteration mode stays the oracle
+    * surface; PagerankTolSpec proves this returns EXACTLY
+    * `pagerank(iters = k)` where k is the first iteration whose delta
+    * crosses tol. Each iteration eagerly checkpoints (the delta
+    * aggregation is an action anyway) so lineage stays flat at any
+    * iteration count. Returns (ranks, iterations run).
+    */
+  def pagerankTol(spark: SparkSession, edges: DataFrame, tol: Double,
+      maxIters: Int = 50, damping: Double = 0.85, scale: Int = 12,
+      seeds: Option[Seq[String]] = None,
+      weighted: Boolean = false,
+      danglingRedistribute: Boolean = false): (DataFrame, Int) = {
+    require(tol > 0, "tol must be positive")
+    val st = prState(edges, damping, scale, seeds, weighted,
+      danglingRedistribute)
+    try {
+      var pr = st.init.localCheckpoint(true)
+      var it = 0
+      var delta = Double.MaxValue
+      while (it < maxIters && delta > tol) {
+        val next = st.step(pr).localCheckpoint(true)
+        val d = next.as("a")
+          .join(pr.as("b"), col("a.node") === col("b.node"))
+          .agg(sum(abs(col("a.rank") - col("b.rank"))
+            .cast(DecimalType(38, 15))).as("d"))
+          .head.getDecimal(0)
+        delta = if (d == null) 0.0 else d.doubleValue()
+        pr = next
+        it += 1
+      }
+      (pr, it)
+    } finally st.close()
+  }
+
+  /** The shared iteration machinery behind [[pagerank]] and
+    * [[pagerankTol]] — ONE definition of the contribution join, the
+    * rounding contract, and the dangling-mass term, so the two modes
+    * cannot drift. `close()` frees the caches the step holds.
+    */
+  private final case class PrState(init: DataFrame,
+      step: DataFrame => DataFrame, close: () => Unit)
+
+  private def prState(edges: DataFrame, damping: Double, scale: Int,
+      seeds: Option[Seq[String]], weighted: Boolean,
+      danglingRedistribute: Boolean): PrState = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
       .distinct()
@@ -128,6 +213,13 @@ object GraphOps {
     val eo = edges.select(eCols.map(col): _*).join(outdeg, "src")
       .repartition(col("src"))
       .cache()
+    // dangling node set (no out-edges), computed once: node-keyed
+    // anti-join, a few bytes per node
+    val dangling =
+      if (danglingRedistribute)
+        Some(nodes.join(eo.select(col("src").as("node")),
+          Seq("node"), "left_anti").cache())
+      else None
     val (base, init) = seeds match {
       case None =>
         (lit((1.0 - damping) / n), lit(1.0 / n))
@@ -138,8 +230,7 @@ object GraphOps {
         (when(inSeed, lit((1.0 - damping) / nS)).otherwise(lit(0.0)),
           when(inSeed, lit(1.0 / nS)).otherwise(lit(0.0)))
     }
-    var pr = nodes.select(col("node"), init.as("rank"))
-    for (i <- 1 to iters) {
+    def step(pr: DataFrame): DataFrame = {
       val share =
         if (weighted) col("rank") * col("weight") / col("outdeg")
         else col("rank") / col("outdeg")
@@ -147,20 +238,34 @@ object GraphOps {
         .select(col("dst"),
           round(share, scale).cast(DecimalType(38, 15)).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          round(base + lit(damping) *
-            coalesce(col("s").cast("double"), lit(0.0)), scale).as("rank"))
-      if (i % checkpointEvery == 0) pr = pr.localCheckpoint(true)
+      val recv = coalesce(col("s").cast("double"), lit(0.0))
+      dangling match {
+        case None =>
+          nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+            .select(col("node"),
+              round(base + lit(damping) * recv, scale).as("rank"))
+        case Some(dg) =>
+          // DM_t as a ONE-ROW frame (exact decimal sum; empty dangling
+          // set → 0) cross-joined into the update — no driver action
+          val dm = pr.join(dg, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank").cast(DecimalType(38, 15))),
+              lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 15)))
+              .as("dm"))
+          nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+            .crossJoin(dm)
+            .select(col("node"),
+              round(base + lit(damping) *
+                (recv + col("dm").cast("double") / n), scale).as("rank"))
+      }
     }
-    // materialize the final ranks (one (node, double) row per node),
-    // then free the iteration caches — without this every pagerank
-    // call pins its edge⋈outdeg table in executor memory for the life
-    // of the session
-    val out = pr.localCheckpoint(true)
-    nodes.unpersist(blocking = false)
-    eo.unpersist(blocking = false)
-    out
+    PrState(
+      nodes.select(col("node"), init.as("rank")),
+      step,
+      () => {
+        nodes.unpersist(blocking = false)
+        eo.unpersist(blocking = false)
+        dangling.foreach(_.unpersist(blocking = false))
+      })
   }
 
   /** Triangle count per node over the UNDIRECTED simple graph induced
@@ -213,23 +318,51 @@ object GraphOps {
     * edges (src, dst, weight:long). `iters` relaxation rounds bound
     * the path length — distances to nodes further than `iters` hops
     * are not final (documented; run V-1 rounds for the full
-    * fixed point). Each round is one frontierless relaxation:
-    * dist ⋈ edges on src (the rank-join shape of [[pagerank]], same
-    * exchange-reuse caching applies upstream), then a min-merge on
-    * dst. All-long arithmetic — exact, order-independent, oracled by
-    * unrolled SQL.
+    * fixed point).
+    *
+    * DELTA relaxation (the same frontier/visited split as [[nhop]]):
+    * each round joins edges against only the nodes whose distance
+    * IMPROVED last round, not the whole dist table — a relaxation out
+    * of a non-improved node was already applied the round it improved,
+    * so re-relaxing it can only reproduce known bounds. Semantics are
+    * identical to full Bellman-Ford at any `iters`; work per round is
+    * O(frontier ⋈ edges), which on expander-ish graphs shrinks
+    * geometrically once distances stabilize. The dist table is eagerly
+    * checkpointed per round (it feeds both the min-merge and the
+    * frontier diff, so un-checkpointed lineage would double per
+    * round). All-long arithmetic — exact, order-independent, oracled
+    * by unrolled SQL.
     */
   def shortestPaths(spark: SparkSession, edges: DataFrame, source: String,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    shortestPathsWithFrontier(spark, edges, source, iters, null)
+
+  /** [[shortestPaths]] plus per-round frontier sizes appended to
+    * `frontierSizes` (spec instrumentation; the extra count() actions
+    * run only when the buffer is non-null).
+    */
+  private[graft] def shortestPathsWithFrontier(spark: SparkSession,
+      edges: DataFrame, source: String, iters: Int,
+      frontierSizes: scala.collection.mutable.Buffer[Long]): DataFrame = {
     import spark.implicits._
     var dist = Seq(source).toDF("node").select(col("node"),
       lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
     for (_ <- 1 to iters) {
-      val relaxed = edges.join(dist, edges("src") === dist("node"))
+      if (frontierSizes != null) frontierSizes += frontier.count()
+      val relaxed = edges.join(frontier, edges("src") === frontier("node"))
         .select(col("dst").as("node"),
           (col("dist") + col("weight")).as("dist"))
-      dist = dist.union(relaxed)
+      val merged = dist.union(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      // next frontier: strictly-improved (or newly reached) nodes only
+      frontier = merged.as("m")
+        .join(dist.as("o"), col("m.node") === col("o.node"), "left")
+        .filter(col("o.dist").isNull || col("m.dist") < col("o.dist"))
+        .select(col("m.node").as("node"), col("m.dist").as("dist"))
+      dist = merged
     }
     dist
   }
@@ -246,9 +379,14 @@ object GraphOps {
     * Scale shape per round: one join of the (node, label) table
     * against the undirected edge list (shuffles the label side — the
     * same rank-join shape as [[pagerank]]), one map-side-combinable
-    * (node, label) count, and one per-node argmax window over ≤
-    * distinct-neighbor-labels rows. All string/long ops — exact at any
-    * parallelism; `kg_communities` is hash-oracled via unrolled SQL.
+    * (node, label) count, then the per-node argmax as a
+    * `min(struct(-cnt, label))` hash aggregation — (cnt desc, label
+    * asc) by struct ordering — which is itself map-side combinable: a
+    * hub node's label votes pre-reduce to one candidate per map task
+    * instead of sorting inside a window partition (the same
+    * argmax-not-sort upgrade as `langGuess`). All string/long ops —
+    * exact at any parallelism; `kg_communities` is hash-oracled via
+    * unrolled SQL.
     */
   def labelPropagation(spark: SparkSession, edges: DataFrame,
       rounds: Int): DataFrame = {
@@ -260,21 +398,21 @@ object GraphOps {
     val both = und.select(col("u").as("nbr"), col("v").as("node"))
       .unionByName(und.select(col("v").as("nbr"), col("u").as("node")))
       .cache()
-    var labels = both.select(col("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
-      val counts = both.join(labels.withColumnRenamed("node", "nbr"), "nbr")
-        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("node")
-        .orderBy(col("cnt").desc, col("label").asc)
-      labels = counts
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("node"), col("label"))
-    }
-    val out = labels.localCheckpoint(true)
-    both.unpersist(blocking = false)
-    out
+    try {
+      var labels = both.select(col("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to rounds) {
+        val counts = both.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+          .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        // min over struct(-cnt, label): largest count, ties to the
+        // SMALLEST label — the deterministic synchronous-LPA tie-break
+        labels = counts.groupBy("node")
+          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+            .as("b"))
+          .select(col("node"), col("b.l").as("label"))
+      }
+      labels.localCheckpoint(true)
+    } finally both.unpersist(blocking = false)
   }
 
   /** Minimum-distance BFS from `seeds`, out to `hops` edge hops.

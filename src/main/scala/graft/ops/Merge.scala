@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental upsert — the MERGE INTO semantics an Iceberg-backed KG
@@ -23,6 +24,15 @@ import org.apache.spark.sql.functions._
   * compiles to; here it is the engine-level operator, oracled as
   * `kg_merge_incremental`.
   *
+  * Duplicate-key semantics match SQL/Iceberg MERGE INTO: a delta with
+  * two rows for the same key RAISES at execution (a full-outer join
+  * would silently fan the base row out — "multiple matching source
+  * rows" is an error in the standard, not a cartesian). The guard is a
+  * `count() OVER (PARTITION BY key)` window on the delta side: the
+  * join exchanges the delta on the key columns anyway, so the window
+  * reuses that exact partitioning — the check costs a per-partition
+  * sort, never an extra shuffle.
+  *
   * @param key join key columns; must be non-null in both inputs.
   */
 object Merge {
@@ -34,9 +44,17 @@ object Merge {
     val nonKey = cols.filterNot(key.contains)
     val b2 = base.select(key.map(col) ++
       nonKey.map(c => col(c).as(s"__b_$c")): _*)
+    // the guard rides IN `__in_delta` (which the winner projection
+    // reads for every non-key column) — a side-channel check column
+    // would be pruned away by Catalyst as dead
+    val dupGuard = when(
+      count(lit(1)).over(Window.partitionBy(key.map(col): _*)) > 1,
+      raise_error(concat(lit("MERGE upsert: delta has multiple rows for key ("),
+        concat_ws(",", key.map(k => col(k).cast("string")): _*), lit(")"))))
+      .otherwise(lit(true))
     val d2 = delta.select(key.map(col) ++
-      nonKey.map(c => col(c).as(s"__d_$c")) :+
-      lit(true).as("__in_delta"): _*)
+      nonKey.map(c => col(c).as(s"__d_$c")): _*)
+      .withColumn("__in_delta", dupGuard)
     b2.join(d2, key, "full_outer")
       .select(key.map(col) ++ nonKey.map { c =>
         when(col("__in_delta").isNotNull, col(s"__d_$c"))

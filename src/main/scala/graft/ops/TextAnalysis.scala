@@ -407,6 +407,16 @@ object TextAnalysis {
   def stratifiedSample(docs: DataFrame, strataCol: String,
       rates: Seq[(String, String)], defaultThreshold: String,
       salt: String = "strat:", idCol: String = "doc_id"): DataFrame = {
+    // thresholds compare LEXICOGRAPHICALLY against 32-char lowercase
+    // md5 hex — an uppercase "C0" (sorts between '9' and 'a') or a
+    // 1/3-digit string would silently produce a very different keep
+    // rate than the documented 1/256 granularity, so malformed
+    // thresholds fail fast here
+    (rates.map(_._2) :+ defaultThreshold).foreach { t =>
+      require(t.matches("^[0-9a-f]{2}$"),
+        s"stratifiedSample threshold '$t' must be exactly 2 lowercase " +
+          "hex digits (granularity 1/256)")
+    }
     val key = md5(concat(lit(salt), col(idCol).cast("string")))
     val thr = rates.foldRight(lit(defaultThreshold): Column) {
       case ((stratum, t), rest) =>

@@ -122,6 +122,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"GraphX graphs leaked: ${graphRdds.map(_.toString).mkString("; ")}")
   }
 
+  test("kg_communities: LPA argmax is an aggregation, not a window sort") {
+    // the per-round argmax is min(struct(-cnt, label)) — map-side
+    // combinable, so a hub's label votes pre-reduce per map task; a
+    // row_number window would sort every vote inside one partition
+    val plan = planOf("kg_communities")
+    assert(!plan.contains("row_number"),
+      s"LPA argmax regressed to a ranking window:\n$plan")
+    assert(!plan.contains("Window"),
+      s"LPA plan grew a window operator:\n$plan")
+  }
+
   test("doc_bloom_contamination: bloom prefilter sits before the confirm join") {
     val plan = planOf("doc_bloom_contamination")
     // confirm semi-join must be broadcast (benchmark side is bounded)

@@ -104,6 +104,60 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(pr3("a") > pr3("c"))
   }
 
+  test("dangling redistribution: mass conserved; closed form on the 3-cycle plus sink") {
+    // a->b, b->a, a->c: c is dangling. DM_0 = pr0(c) = 1/3, so each
+    // node's receive gains DM/N = 1/9 on top of the leak-mode closed
+    // form — and total rank stays exactly 1 per iteration.
+    val e = edges(("a", "b"), ("b", "a"), ("a", "c"))
+    val third = 1.0 / 3
+    val pr = GraphOps.pagerank(spark, e, iters = 1,
+        danglingRedistribute = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(pr("a") - (0.15 / 3 + 0.85 * (third + third / 3))) < 1e-9)
+    assert(math.abs(pr("b") - (0.15 / 3 + 0.85 * (third / 2 + third / 3))) < 1e-9)
+    assert(pr("b") === pr("c"))
+    val pr5 = GraphOps.pagerank(spark, e, iters = 5,
+        danglingRedistribute = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(pr5.values.sum - 1.0) < 1e-9,
+      s"dangling mode must conserve rank mass, got ${pr5.values.sum}")
+    // leak mode (the oracle default) keeps shrinking on the same graph
+    val leak = GraphOps.pagerank(spark, e, iters = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(leak.values.sum < 0.9)
+  }
+
+  test("dangling redistribution: bit-identical across partition counts") {
+    val base = docs(
+      "a b c a d e b f g a", "c a d b e f", "g a b c d", "f e d c b a")
+    def run(parts: Int) = GraphOps.pagerank(spark,
+        GraphOps.bigramEdges(base.repartition(parts))
+          .filter(col("src") =!= "a"), // planted dangling hub
+        iters = 3, danglingRedistribute = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(run(1) === run(7))
+  }
+
+  test("pagerankTol: equals fixed-iteration pagerank at the crossing iteration") {
+    val base = docs(
+      "a b c a d e b f g a", "c a d b e f", "g a b c d", "f e d c b a")
+    val e = GraphOps.bigramEdges(base)
+    val (prTol, it) = GraphOps.pagerankTol(spark, e, tol = 1e-3,
+      maxIters = 50)
+    assert(it > 1 && it < 50, s"tol must terminate the loop, ran $it")
+    val tolMap = prTol.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val fixedMap = GraphOps.pagerank(spark, e, iters = it)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(tolMap === fixedMap) // exact ==: same step machinery
+    // the stopping condition: the final step's L1 delta (iter it vs
+    // it-1) is the first one at or under tol
+    val prev = GraphOps.pagerank(spark, e, iters = it - 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val l1 = tolMap.map { case (k, v) => math.abs(v - prev(k)) }.sum
+    assert(l1 <= 1e-3)
+  }
+
   test("triangles: counts per node on K4 minus an edge; hub orientation safe") {
     // K4 on {a,b,c,d} minus edge (c,d): triangles abc and abd only.
     // a and b sit on 2 each; c and d on 1 each. Edges given DIRECTED
@@ -132,6 +186,25 @@ class GraphOpsSpec extends AnyFunSuite {
     val d1 = GraphOps.shortestPaths(spark, e, "s", iters = 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(d1("a") === 10L)
+  }
+
+  test("shortestPaths: delta relaxation joins only the improved frontier per round") {
+    import spark.implicits._
+    // chain s->n1->n2->...->n6 plus a dense already-settled blob around
+    // s: after round h the frontier is exactly the one new chain node,
+    // NOT the whole visited set
+    val chain = (0 until 6).map(i =>
+      (if (i == 0) "s" else s"n$i", s"n${i + 1}", 1L))
+    val blob = Seq(("s", "b1", 1L), ("s", "b2", 1L), ("s", "b3", 1L))
+    val e = (chain ++ blob).toDF("src", "dst", "weight")
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val d = GraphOps.shortestPathsWithFrontier(spark, e, "s", 5, sizes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d("n5") === 5L && d("b2") === 1L)
+    // round 1 relaxes {s}; round 2 relaxes the 4 newly-reached nodes;
+    // every later round relaxes exactly ONE node (the chain tip) —
+    // the visited set (4 + round) never re-enters the join
+    assert(sizes.toSeq === Seq(1L, 4L, 1L, 1L, 1L))
   }
 
   test("labelPropagation: two cliques bridged by one edge settle into two communities") {

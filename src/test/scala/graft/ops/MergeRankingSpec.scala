@@ -36,6 +36,28 @@ class MergeRankingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Merge.upsert(a, a, Seq.empty))
   }
 
+  test("upsert: raises on duplicate delta keys (MERGE multiple-match semantics)") {
+    import spark.implicits._
+    val base = Seq((1L, "old1"), (2L, "old2")).toDF("id", "text")
+    val dup = Seq((2L, "newA"), (2L, "newB"), (3L, "new3"))
+      .toDF("id", "text")
+    // SQL MERGE INTO errors when a target row matches multiple source
+    // rows — a silent full-outer fan-out would duplicate base rows
+    val e = intercept[Exception] {
+      Merge.upsert(base, dup, Seq("id")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("multiple rows for key")),
+      s"expected the duplicate-key guard, got: $e")
+    // unique delta keys still pass through the guard untouched
+    val ok = Merge.upsert(base,
+        Seq((2L, "new2")).toDF("id", "text"), Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ok === Set((1L, "old1"), (2L, "new2")))
+  }
+
   test("bm25: matches the closed-form score on a two-doc fixture") {
     import spark.implicits._
     // doc 0: 'x x y' (tf_x=2, dl=3); doc 1: 'y z z z' (dl=4); query = {x}
@@ -136,5 +158,20 @@ class MergeRankingSpec extends AnyFunSuite {
     // 0x80/0x100 = 50%, 0x10/0x100 = 6.25% — wide tolerance, n=500
     assert(en > 0.4 && en < 0.6)
     assert(zh > 0.01 && zh < 0.13)
+  }
+
+  test("stratifiedSample: malformed thresholds fail fast") {
+    import spark.implicits._
+    val docs = Seq((1L, "x", "en")).toDF("doc_id", "text", "lang")
+    // uppercase hex sorts between '9' and 'a' in the lexicographic
+    // compare; short/long strings shift the keep rate silently — all
+    // must be rejected, in rates AND in the default
+    for (bad <- Seq("C0", "8", "800", "g0", ""))
+      intercept[IllegalArgumentException] {
+        TextAnalysis.stratifiedSample(docs, "lang", Seq("en" -> bad), "10")
+      }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.stratifiedSample(docs, "lang", Seq("en" -> "80"), "C0")
+    }
   }
 }
