@@ -562,8 +562,15 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
-    // ANN scale path: SRP-LSH bucketed top-k (rows-only; recall vs brute
-    // force asserted in OpsSpec).
+    // ANN scale path: SRP-LSH bucketed top-k — the REAL approximate
+    // k=5 surface, now FULLY hash-oracled: the SRP hyperplanes are
+    // algorithm constants (like the 0.85 damping factor), so the
+    // oracle embeds them as double literals and independently
+    // recomputes every signature bit (sign of a float->double
+    // dot product, bit-identical to LIST_DOT_PRODUCT on DOUBLE[]),
+    // the bucket equi-join, the dot scores, and the (score desc, id
+    // asc) k-cut in DuckDB. Recall vs brute force additionally
+    // asserted in OpsSpec.
     "ann_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val probes = e.filter(col("vec_id") < 500)
@@ -572,12 +579,20 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
-    // ANN scale path 2: IVF (KMeans coarse quantizer, nprobe cells per
-    // query; rows-only, recall vs brute force asserted in OpsSpec).
+    // ANN scale path 2: IVF with the DETERMINISTIC Lloyd coarse
+    // quantizer (fixed lowest-id init, decimal-exact centroid updates
+    // — bit-reproducible at any parallelism, the same contract as
+    // PageRank), searched at nprobe=2 of nlist=8 cells. FULLY
+    // hash-oracled: DuckDB replays both Lloyd rounds (assignment
+    // argmax + exact decimal per-dimension means) and the cell-bounded
+    // search end-to-end. The spark.ml-KMeans quantizer stays the
+    // fitQuantizer default and is oracled through ann_ivf_plant_top1 /
+    // ann_ivf_exhaustive_topk; recall vs brute force in OpsSpec.
     "ann_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val probes = e.filter(col("vec_id") < 500)
-      graft.ops.Similarity.ivfTopK(s, e, probes, k = 5, nlist = 8, nprobe = 2)
+      graft.ops.Similarity.ivfTopK(s, e, probes, k = 5, nlist = 8, nprobe = 2,
+          lloydIters = Some(2))
         .select("query_id", "neighbor_id", "rk")
         .orderBy("query_id", "rk")
     }),
@@ -1664,6 +1679,101 @@ object SparkEntry {
        |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
   }
 
+  /** Full DuckDB replica of the SRP-LSH top-k path: the nBits
+    * hyperplanes ride in as double literals (algorithm constants — see
+    * Similarity.srpPlanes), and the SQL recomputes every signature bit
+    * as the sign of LIST_DOT_PRODUCT over DOUBLE[] — bit-identical to
+    * the engine's float*double left-to-right accumulation (the same
+    * parity the exhaustive ANN oracles already pin) — then the bucket
+    * equi-join, the self-exclusion, the dot scores, and the
+    * (score desc, neighbor_id asc) k-cut.
+    */
+  private def lshTopKOracle(k: Int, nBits: Int, dim: Int,
+      probePred: String): String = {
+    val planes = graft.ops.Similarity.srpPlanes(nBits, dim)
+    val sigExpr = planes.zipWithIndex.map { case (row, b) =>
+      val arr = row.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN LIST_DOT_PRODUCT(emb, $arr) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |sig AS (SELECT vec_id, emb,
+       |      $sigExpr AS bucket
+       |  FROM e)
+       |SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY LIST_DOT_PRODUCT(p.emb, c.emb) DESC,
+       |               c.vec_id ASC) AS rk
+       |  FROM sig p JOIN sig c
+       |    ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+       |  WHERE $probePred)
+       |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Full DuckDB replica of the deterministic-Lloyd IVF top-k path:
+    * unrolled CTEs replay the quantizer fit — init = the nlist
+    * lowest-id vectors; per round, assignment = argmax of
+    * dot(v,c) - |c|^2/2 with (score desc, cell asc) tie order (the
+    * exact first-max semantics of the native ivf_cell expression) and
+    * update = per-dimension DECIMAL(38,15)-exact mean rounded to 9
+    * decimals (empty cells keep their centroid) — then the search:
+    * corpus assigned to 1 cell, probes to their nprobe best cells,
+    * cell equi-join, dot scores, (score desc, id asc) k-cut.
+    */
+  private def ivfLloydOracle(k: Int, nlist: Int, nprobe: Int,
+      lloydIters: Int, probePred: String): String = {
+    val rounds = (1 to lloydIters).map { i =>
+      s"""a$i AS (SELECT vec_id, emb, cell FROM (
+         |  SELECT e.vec_id, e.emb, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY LIST_DOT_PRODUCT(e.emb, c.c)
+         |               - LIST_DOT_PRODUCT(c.c, c.c)/2 DESC,
+         |               c.cell ASC) AS rn
+         |  FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |u$i AS (SELECT cell, pos,
+         |    ROUND(CAST(SUM(CAST(v AS DECIMAL(38,15))) AS DOUBLE)
+         |      / COUNT(*), 9) AS cv
+         |  FROM (SELECT cell, UNNEST(emb) AS v,
+         |        UNNEST(generate_series(1, LEN(emb))) AS pos FROM a$i)
+         |  GROUP BY cell, pos),
+         |c$i AS (SELECT c0.cell, COALESCE(u.c, c0.c) AS c
+         |  FROM c${i - 1} c0 LEFT JOIN
+         |    (SELECT cell, LIST(cv ORDER BY pos) AS c FROM u$i GROUP BY cell) u
+         |  ON u.cell = c0.cell)""".stripMargin
+    }.mkString(",\n")
+    val cf = s"c$lloydIters"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cell, c FROM (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+       |         CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+       |$rounds,
+       |corp AS (SELECT vec_id, emb, cell FROM (
+       |  SELECT e.vec_id, e.emb, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY LIST_DOT_PRODUCT(e.emb, c.c)
+       |               - LIST_DOT_PRODUCT(c.c, c.c)/2 DESC,
+       |               c.cell ASC) AS rn
+       |  FROM e CROSS JOIN $cf c) WHERE rn = 1),
+       |pr AS (SELECT vec_id, emb, cell FROM (
+       |  SELECT e.vec_id, e.emb, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY LIST_DOT_PRODUCT(e.emb, c.c)
+       |               - LIST_DOT_PRODUCT(c.c, c.c)/2 DESC,
+       |               c.cell ASC) AS rn
+       |  FROM e CROSS JOIN $cf c) WHERE rn <= $nprobe AND $probePred)
+       |SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY LIST_DOT_PRODUCT(p.emb, c.emb) DESC,
+       |               c.vec_id ASC) AS rk
+       |  FROM pr p JOIN corp c
+       |    ON p.cell = c.cell AND p.vec_id <> c.vec_id)
+       |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "kg_communities" -> lpaOracle(2),
     "kg_triangles" ->
@@ -2283,6 +2393,12 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |WHERE a.vec_id < 500
         |GROUP BY a.vec_id ORDER BY query_id""".stripMargin,
+    // the REAL approximate ANN surfaces, fully replayed in SQL —
+    // plane-literal SRP signatures / unrolled deterministic-Lloyd IVF
+    "ann_lsh_topk" -> lshTopKOracle(k = 5, nBits = 6, dim = 64,
+      probePred = "p.vec_id < 500"),
+    "ann_ivf_topk" -> ivfLloydOracle(k = 5, nlist = 8, nprobe = 2,
+      lloydIters = 2, probePred = "vec_id < 500"),
     // exhaustive-mode ANN: approximate path == brute force by
     // construction, so the full k=5 ranking oracles in closed form
     "ann_lsh_exhaustive_topk" ->

@@ -127,6 +127,15 @@ object Similarity {
       planes(b, d).map(row => math.sqrt(row.map(x => x * x).sum))
     })
 
+  /** The SRP hyperplane matrix, exposed read-only for the DuckDB oracle
+    * generator: the planes are algorithm CONSTANTS (any fixed matrix
+    * defines a valid SRP family, like the 0.85 damping factor), so the
+    * oracle embeds them as double literals and independently recomputes
+    * every signature, bucket join, score, and rank in SQL.
+    */
+  def srpPlanes(nBits: Int, dim: Int): Array[Array[Double]] =
+    planes(nBits, dim).map(_.clone())
+
   /** The ONE sign-projection loop both the bucketing and the probing
     * paths share — a second copy of the hashing scheme diverging from
     * the first would silently put probes in different buckets than the
@@ -388,9 +397,70 @@ object Similarity {
   def ivfTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       k: Int, nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
       maxTrain: Long = 200000L,
-      maxBroadcastProbes: Long = MaxBroadcastProbes): DataFrame =
+      maxBroadcastProbes: Long = MaxBroadcastProbes,
+      lloydIters: Option[Int] = None): DataFrame =
     ivfCellTopK(spark, corpus, Some(probes), k, nlist, nprobe, seed,
-      maxTrain, None, maxBroadcastProbes)
+      maxTrain, None, maxBroadcastProbes, lloydIters)
+
+  /** Deterministic coarse-quantizer fit: Lloyd's algorithm with a fixed
+    * init (the `nlist` lowest-id vectors) and EXACT arithmetic in the
+    * centroid update — per-dimension sums run through DECIMAL(38,15)
+    * (order-independent) and the mean is rounded to `scale` decimals —
+    * so the fitted centroids are bit-identical at any parallelism and
+    * fully replicable in SQL (the `ann_ivf_topk` oracle replays every
+    * assignment and update in DuckDB). spark.ml KMeans (the
+    * [[fitQuantizer]] default) converges faster per pass but its
+    * k-means|| init and float merge order are runtime-dependent; this
+    * fit is the reproducibility-contract variant — the same trade the
+    * engine's PageRank makes.
+    *
+    * Scale shape: each Lloyd round is ONE narrow corpus scan through
+    * the native codegen `ivf_cell` assignment plus a map-side-combined
+    * shuffle of (cell, dim) decimal partials — nlist x dim rows reach
+    * the driver per round, never vectors. At 10^12 rows bound the
+    * input the same way fitQuantizer samples (e.g. a deterministic
+    * `vec_id % k = 0` slice) before calling; the fit itself never
+    * collects corpus data.
+    */
+  def fitQuantizerLloyd(spark: SparkSession, corpus: DataFrame,
+      nlist: Int, iters: Int, scale: Int = 9, idCol: String = "vec_id")
+      : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.filter(col("embedding").isNotNull)
+    // fixed deterministic init: the nlist smallest ids (a global top-k,
+    // one narrow pass — TakeOrderedAndProject, no full sort)
+    var cents: Array[Array[Double]] = c
+      .select(col(idCol), col("embedding"))
+      .orderBy(col(idCol)).limit(nlist)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+    require(cents.length == nlist,
+      s"Lloyd quantizer needs >= $nlist non-null vectors, got ${cents.length}")
+    for (_ <- 1 to iters) {
+      val centroidsLit = typedlit(cents.map(_.toSeq).toSeq)
+      val sums = c
+        .select(call_function("ivf_cell", col("embedding"), centroidsLit)
+          .as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 15))).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val pos = r.getInt(1)
+        val s = r.getDecimal(2).doubleValue()
+        val cnt = r.getLong(3)
+        next(cell)(pos) = BigDecimal(s / cnt)
+          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      cents = next
+    }
+    spark.sparkContext.broadcast(cents)
+  }
 
   /** Corpus-scale self k-NN join over the IVF cells: EVERY vector is a
     * probe, so nothing is broadcast — both sides shuffle on the cell
@@ -418,7 +488,8 @@ object Similarity {
       probes: Option[DataFrame], k: Int, nlist: Int, nprobe: Int,
       seed: Long, maxTrain: Long,
       metrics: Option[org.apache.spark.sql.Observation] = None,
-      maxBroadcastProbes: Long = MaxBroadcastProbes): DataFrame = {
+      maxBroadcastProbes: Long = MaxBroadcastProbes,
+      lloydIters: Option[Int] = None): DataFrame = {
     // register on the input frames' OWN sessions too: call_function
     // resolves against the frame's session registry at analysis, which
     // in a multi-session app may differ from `spark` (the same reason
@@ -434,7 +505,10 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     probes.foreach(p => graft.functions.GraftFunctions.register(p.sparkSession))
-    val bc = fitQuantizer(spark, corpus, nlist, seed, maxTrain)
+    val bc = lloydIters match {
+      case Some(li) => fitQuantizerLloyd(spark, corpus, nlist, li)
+      case None => fitQuantizer(spark, corpus, nlist, seed, maxTrain)
+    }
     // corpus-side cell assignment through the native codegen ivf_cell
     // expression (centroids ride as a nested-array literal) — the one
     // pass that touches EVERY corpus vector pays no Seq[Float] boxing;

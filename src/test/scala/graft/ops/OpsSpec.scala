@@ -154,6 +154,36 @@ class OpsSpec extends AnyFunSuite {
       f"sampled-quantizer recall $recallSampled%.3f at/below chance")
   }
 
+  test("lloyd quantizer: bit-identical across partition counts, usable recall") {
+    val e = embeddings.select("vec_id", "embedding")
+    // decimal-exact centroid updates + fixed lowest-id init: the fit
+    // must be EXACTLY reproducible at any parallelism (the property
+    // that makes the ann_ivf_topk oracle replayable in SQL)
+    val f1 = Similarity.fitQuantizerLloyd(spark, e.repartition(1),
+      nlist = 8, iters = 2).value
+    val f7 = Similarity.fitQuantizerLloyd(spark, e.repartition(7),
+      nlist = 8, iters = 2).value
+    assert(f1.map(_.toSeq).toSeq === f7.map(_.toSeq).toSeq)
+    // and the search through it is a real quantizer, not a degenerate
+    // single cell: recall beats the chance line like the KMeans fit
+    val brute = Similarity.bruteForceTopK(e, e, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, e, e, k = 5, nlist = 8, nprobe = 3,
+        lloydIters = Some(2))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"ann recall@5 (ivf lloyd-2 fit, 8 cells, 3 probes): $recall%.3f")
+    assert(recall > 0.5, f"lloyd-quantizer recall $recall%.3f no better than chance")
+    // every cell is argmin-assigned: nprobe = nlist searches everything
+    val all = Similarity.ivfTopK(spark, e, e, k = 5, nlist = 8, nprobe = 8,
+        lloydIters = Some(2))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === brute)
+  }
+
   test("ivf self k-NN join matches probes-as-corpus ivfTopK, decent recall") {
     val e = embeddings.select("vec_id", "embedding")
     // the self join with every vector as probe must equal ivfTopK with
