@@ -263,17 +263,22 @@ object ScaleDecade {
       val l10 = loadAvg()
       var (s10, rows10) = time(fn(spark, dir10))
       var resampled = false
+      // the PRE-resample ratio stays in the artifact: a suppressed flag
+      // must remain auditable, not vanish into the post-resample number
+      val ratioPre = s10 / math.max(s1, 1e-3)
       // a would-be flag re-samples BOTH sides before it sticks: a
       // co-tenant/GC blip can land on the 10x sample, and an
       // anomalously FAST 1x best inflates the ratio just the same
       // (observed: a scan op flagged 17x from a 0.2 s 1x fluke + a
-      // 3.5 s 10x pause; its steady-state ratio is ~1.3) — min over
-      // the extra pair on each side restores the steady-state floor
-      if (s10 / math.max(s1, 1e-3) > 10 * slack) {
+      // 3.5 s 10x pause; its steady-state ratio is ~1.3). The SAME
+      // statistic on both sides — median of three — so the re-sample
+      // cannot bias toward suppression the way a min-of-3 on the 10x
+      // side alone would
+      if (ratioPre > 10 * slack) {
         val (r10a, _) = time(fn(spark, dir10))
         val (r10b, _) = time(fn(spark, dir10))
         val (r1, _) = time(fn(spark, dir1))
-        s10 = Seq(s10, r10a, r10b).min
+        s10 = Seq(s10, r10a, r10b).sorted.apply(1) // median of three
         s1 = Seq(a1, b1, r1).sorted.apply(1) // median of three
         resampled = true
       }
@@ -282,12 +287,55 @@ object ScaleDecade {
       if (superlinear) flagged ::= name
       if (out.nonEmpty) out.append(",")
       out.append(f""""$name":{"sec_1x":$s1%.3f,"sec_10x":$s10%.3f,""" +
-        f""""ratio":$ratio%.2f,"rows_1x":$rows1,"rows_10x":$rows10,""" +
+        f""""ratio":$ratio%.2f,"ratio_pre":$ratioPre%.2f,""" +
+        f""""rows_1x":$rows1,"rows_10x":$rows10,""" +
         f""""load_10x":$l10%.2f,"resampled":$resampled,""" +
         f""""superlinear":$superlinear}""")
       // progress on stderr; stdout stays the single JSON line
       Console.err.println(f"[decade] $name%-28s 1x=$s1%7.3fs 10x=$s10%8.3fs " +
         f"ratio=$ratio%6.2f${if (superlinear) "  ** SUPER-LINEAR **" else ""}")
+    }
+
+    // SECOND decade (100x docs) for the heaviest document-table ops:
+    // one decade is evidence, two decades is a trend. Skippable
+    // (SPARK_GRAFT_DECADE_100X=0) because the 100x corpus write plus
+    // three timed passes add minutes; flag threshold scales to
+    // 100 * slack with the same both-sides median re-sample.
+    val out100 = new StringBuilder
+    if (sys.env.getOrElse("SPARK_GRAFT_DECADE_100X", "1") != "0") {
+      val dir100 = s"$base/decade100x"
+      writeDocuments(spark, dir100, n1 * 100, seed)
+      val heavy = Seq("doc_substring_dedup", "kg_pagerank_weighted",
+        "doc_bm25")
+      heavy.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val (a1, _) = time(fn(spark, dir1))
+        val (b1, _) = time(fn(spark, dir1))
+        var s1 = math.min(a1, b1)
+        val l100 = loadAvg()
+        var (s100, rows100) = time(fn(spark, dir100))
+        val ratioPre = s100 / math.max(s1, 1e-3)
+        var resampled = false
+        if (ratioPre > 100 * slack) {
+          val (rA, _) = time(fn(spark, dir100))
+          val (rB, _) = time(fn(spark, dir100))
+          val (r1, _) = time(fn(spark, dir1))
+          s100 = Seq(s100, rA, rB).sorted.apply(1)
+          s1 = Seq(a1, b1, r1).sorted.apply(1)
+          resampled = true
+        }
+        val ratio = s100 / math.max(s1, 1e-3)
+        val superlinear = ratio > 100 * slack
+        if (superlinear) flagged ::= s"${name}@100x"
+        if (out100.nonEmpty) out100.append(",")
+        out100.append(f""""$name":{"sec_1x":$s1%.3f,"sec_100x":$s100%.3f,""" +
+          f""""ratio":$ratio%.2f,"ratio_pre":$ratioPre%.2f,""" +
+          f""""rows_100x":$rows100,"load_100x":$l100%.2f,""" +
+          f""""resampled":$resampled,"superlinear":$superlinear}""")
+        Console.err.println(f"[decade] $name%-28s 1x=$s1%7.3fs " +
+          f"100x=$s100%8.3fs ratio=$ratio%6.2f" +
+          (if (superlinear) "  ** SUPER-LINEAR **" else ""))
+      }
     }
     spark.stop()
     val excl = Excluded.map { case (k, v) => s""""$k":"$v"""" }
@@ -298,7 +346,7 @@ object ScaleDecade {
       s"""{"metric":"scale_decade","docs_1x":$n1,"docs_10x":${n1 * 10},""" +
         s""""vecs_1x":$m1,"vecs_10x":${m1 * 10},"slack":$slack,""" +
         s""""superlinear":$flaggedJson,"excluded":$excl,""" +
-        s""""queries":{$out}}"""
+        s""""queries":{$out},"queries_100x":{$out100}}"""
     println(line)
     try {
       val w = new java.io.PrintWriter("scale_decade.json")

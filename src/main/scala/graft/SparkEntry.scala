@@ -1266,6 +1266,68 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.8 the PRODUCTION-shaped replay of the same keyed-state
+    // first-seen dedup: a FILE SOURCE (the IncrementalIngest
+    // crawl-drop shape) — documents spooled as ascending doc_id-range
+    // parquet chunks with ascending mtimes, consumed with
+    // maxFilesPerTrigger=1 under Trigger.AvailableNow — NOTHING ever
+    // collects to the driver, unlike the MemoryStream harness above.
+    // Result is batching-placement-independent by construction: the
+    // within-batch winner is min (warc_ts, url) and warc_ts encodes
+    // doc_id, so however Spark buckets the files into micro-batches
+    // the emitted set is exactly min doc_id per distinct text — the
+    // same oracle as stream_first_seen.
+    "stream_first_seen_files" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_sff").toFile
+      val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+      try {
+        val docs = t(s, dir, "documents")
+        val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val chunks = 5
+        val chunkCol = least(floor(col("doc_id") * chunks / (mx + 1)),
+          lit(chunks - 1))
+        for (i <- 0 until chunks) {
+          val tmp = new java.io.File(base, s"tmp$i")
+          docs.filter(chunkCol === i).select(
+              concat(lit("doc://"), col("doc_id")).as("url"),
+              timestamp_seconds(col("doc_id")).as("warc_ts"),
+              lit(Array.emptyByteArray).as("html"),
+              col("text"), lit("en").as("lang"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles().find(f =>
+            f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written for chunk $i"))
+          val dest = new java.io.File(inDir, f"chunk$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(1700000000000L + i * 60000L)
+        }
+        val pages = s.readStream
+          .schema(org.apache.spark.sql.Encoders.product[graft.spark.Page].schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.getAbsolutePath)
+          .as[graft.spark.Page]
+        val name = "stream_first_seen_files_" + streamSeq.incrementAndGet()
+        val q = graft.streaming.Monitors
+          .firstSeenByContent(s, pages, stateTimeout = None)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(name)
+          .select(substring_index(col("url"), "/", -1).cast("long")
+            .as("doc_id"))
+          .orderBy("doc_id")
+      } finally {
+        // memory sink rows live in memory; the spool dir can go
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(base)
+      }
+    }),
+
     // ---- graph analytics over the materialized KG (GraphOps) ----
     // All three run on the token co-occurrence graph (the TextRank
     // shape) derived from `documents`, which DuckDB can rebuild
@@ -2148,6 +2210,13 @@ object SparkEntry {
     // Batch first-seen: min doc_id per distinct text — the streaming
     // keyed-state replay must emit exactly this set.
     "stream_first_seen" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY MD5(COALESCE(text, '')) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // identical semantics through the file-source production shape
+    "stream_first_seen_files" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, ROW_NUMBER() OVER (
         |    PARTITION BY MD5(COALESCE(text, '')) ORDER BY doc_id) AS rn
