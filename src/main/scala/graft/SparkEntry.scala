@@ -579,6 +579,23 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // Multi-probe LSH (the recall lever of the scale path): each probe
+    // also searches the buckets reached by flipping its `multiProbe`
+    // LOWEST-MARGIN signature bits. Fully hash-oracled: the margins
+    // |v·p|/||p|| are the same plane-literal dot products (norms ride
+    // as generator-computed constants), the flip choice is a
+    // list_sort over (margin, bit) structs — the exact stable
+    // tie-break of srpProbeBuckets — and the candidate union dedups
+    // before the k-cut exactly like the engine.
+    "ann_lsh_multiprobe_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 500)
+      graft.ops.Similarity.lshTopK(s, e, probes, k = 5, nBits = 6,
+          multiProbe = 2)
+        .select("query_id", "neighbor_id", "rk")
+        .orderBy("query_id", "rk")
+    }),
+
     // ANN scale path 2: IVF with the DETERMINISTIC Lloyd coarse
     // quantizer (fixed lowest-id init, decimal-exact centroid updates
     // — bit-reproducible at any parallelism, the same contract as
@@ -1436,15 +1453,24 @@ object SparkEntry {
       val sents = graft.spark.ExtractStage.sentences(s, pages,
         targetNamesFn = Some((_: String) => Seq("zzjohn zzdoe", "zzann")))
       val mentions = graft.kg.Triples.goldMentions(s, sents)
+      // materialize triples ONCE (the kg.Main pipeline persists them as
+      // a stage): vocab, the canonical-edge join, and pagerank's
+      // node/edge caches all consume this frame, and without the eager
+      // checkpoint each consumer re-runs the whole extraction kernel
       val triples = graft.kg.Triples.fromMentions(s, mentions)
+        .localCheckpoint(true)
       val vocab = graft.kg.Linker.nameVocab(s, triples)
       val links = graft.kg.Linker.exactNormLinks(s, vocab)
       val membership = graft.kg.Canonicalize.components(s, links)
       val nodes = graft.kg.Canonicalize.entities(s, vocab, membership)
+      // same reason: pagerank reads its edge argument three times
+      // (node set, out-degrees, edge⋈outdeg cache) — in the pipeline
+      // `edges` IS a materialized stage, so the query mirrors that
       val edges = graft.kg.Canonicalize.canonicalEdges(s, triples, nodes)
-      graft.kg.GraphOps.pagerank(s,
-          edges.select(col("subj").as("src"), col("obj_entity").as("dst"))
-            .distinct(),
+        .select(col("subj").as("src"), col("obj_entity").as("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      graft.kg.GraphOps.pagerank(s, edges,
           iters = 3, danglingRedistribute = true)
         .select(col("node"), round(col("rank"), 10).as("rank"))
         .orderBy("node")
@@ -1770,6 +1796,52 @@ object SparkEntry {
        |  FROM sig p JOIN sig c
        |    ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
        |  WHERE $probePred)
+       |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Full DuckDB replica of the MULTI-PROBE SRP-LSH top-k path: base
+    * signatures as in [[lshTopKOracle]]; per probe, the margins
+    * |v.p_b| / ||p_b|| (plane norms as generator-computed double
+    * literals) rank the bits by a stable (margin, bit) struct sort —
+    * the exact tie-break of Similarity.srpProbeBuckets — and the
+    * `extra` lowest bits flip into additional probed buckets; the
+    * candidate union dedups per (query, neighbor) before the k-cut.
+    */
+  private def lshMultiProbeOracle(k: Int, nBits: Int, dim: Int, extra: Int,
+      probePred: String): String = {
+    val planes = graft.ops.Similarity.srpPlanes(nBits, dim)
+    val norms = graft.ops.Similarity.srpPlaneNorms(nBits, dim)
+    def arr(row: Array[Double]) =
+      row.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val sigExpr = planes.zipWithIndex.map { case (row, b) =>
+      s"(CASE WHEN LIST_DOT_PRODUCT(emb, ${arr(row)}) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val marginStructs = planes.zipWithIndex.map { case (row, b) =>
+      s"{'m': ABS(LIST_DOT_PRODUCT(emb, ${arr(row)})) / " +
+        s"${java.lang.Double.toString(norms(b))}, 'b': $b}"
+    }.mkString(",\n      ")
+    val flips = (1 to extra)
+      .map(i => s"xor(bucket, 1 << ms[$i].b)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |sig AS (SELECT vec_id, emb,
+       |      $sigExpr AS bucket,
+       |    list_sort([
+       |      $marginStructs]) AS ms
+       |  FROM e),
+       |pb AS (SELECT vec_id, emb,
+       |    UNNEST([bucket, $flips]) AS bucket
+       |  FROM sig WHERE $probePred),
+       |cand AS (SELECT DISTINCT p.vec_id AS query_id,
+       |    c.vec_id AS neighbor_id,
+       |    LIST_DOT_PRODUCT(p.emb, c.emb) AS score
+       |  FROM pb p JOIN sig c
+       |    ON p.bucket = c.bucket AND p.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rk
+       |  FROM cand)
        |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
   }
 
@@ -2466,6 +2538,8 @@ object SparkEntry {
     // plane-literal SRP signatures / unrolled deterministic-Lloyd IVF
     "ann_lsh_topk" -> lshTopKOracle(k = 5, nBits = 6, dim = 64,
       probePred = "p.vec_id < 500"),
+    "ann_lsh_multiprobe_topk" -> lshMultiProbeOracle(k = 5, nBits = 6,
+      dim = 64, extra = 2, probePred = "vec_id < 500"),
     "ann_ivf_topk" -> ivfLloydOracle(k = 5, nlist = 8, nprobe = 2,
       lloydIters = 2, probePred = "vec_id < 500"),
     // exhaustive-mode ANN: approximate path == brute force by

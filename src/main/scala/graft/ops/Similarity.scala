@@ -136,6 +136,13 @@ object Similarity {
   def srpPlanes(nBits: Int, dim: Int): Array[Array[Double]] =
     planes(nBits, dim).map(_.clone())
 
+  /** Per-plane L2 norms (the margin denominators of
+    * [[srpProbeBuckets]]), exposed for the multi-probe oracle
+    * generator the same way as [[srpPlanes]].
+    */
+  def srpPlaneNorms(nBits: Int, dim: Int): Array[Double] =
+    planeNorms(nBits, dim).clone()
+
   /** The ONE sign-projection loop both the bucketing and the probing
     * paths share — a second copy of the hashing scheme diverging from
     * the first would silently put probes in different buckets than the
