@@ -120,7 +120,10 @@ object GraphOps {
     * table) that rides into the per-node update as a one-row cross
     * join — one extra scalar aggregation per iteration, never a
     * driver-side action, and the bit-reproducibility contract holds
-    * unchanged. `kg_pagerank_dangling` is hash-oracled with the same
+    * unchanged. With `seeds`, the dangling mass follows the reset
+    * distribution (concentrated on the seed set — the standard
+    * topic-sensitive formulation) instead of 1/N.
+    * `kg_pagerank_dangling` is hash-oracled with the same
     * unrolled-CTE generator plus one scalar CTE per iteration. The
     * default stays the leak semantics (the oracle mode of the other
     * five pagerank queries).
@@ -251,11 +254,23 @@ object GraphOps {
             .agg(coalesce(sum(col("rank").cast(DecimalType(38, 15))),
               lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 15)))
               .as("dm"))
+          // dangling mass follows the RESET distribution: uniform 1/N
+          // unseeded; concentrated on the seed set in personalized mode
+          // (standard topic-sensitive PageRank — spreading a PPR's
+          // dangling mass uniformly would leak rank to nodes the
+          // personalization vector excludes)
+          val redist = seeds match {
+            case None => col("dm").cast("double") / n
+            case Some(s) =>
+              when(col("node").isin(s.distinct: _*),
+                col("dm").cast("double") / s.distinct.size)
+                .otherwise(lit(0.0))
+          }
           nodes.join(contrib, nodes("node") === contrib("dst"), "left")
             .crossJoin(dm)
             .select(col("node"),
-              round(base + lit(damping) *
-                (recv + col("dm").cast("double") / n), scale).as("rank"))
+              round(base + lit(damping) * (recv + redist), scale)
+                .as("rank"))
       }
     }
     PrState(

@@ -127,6 +127,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(leak.values.sum < 0.9)
   }
 
+  test("personalized + dangling: mass conserved ON the seed support, not leaked uniformly") {
+    // a->b->c, c dangling; seeded at a. Leak-mode PPR loses c's mass
+    // every round; dangling mode folds it back into the SEED (a), so
+    // total mass stays 1 and a non-walk node like a fresh 'd' (only
+    // reachable via d->a edge's source side) never receives reset mass.
+    val e = edges(("a", "b"), ("b", "c"), ("d", "a"))
+    val pr = GraphOps.pagerank(spark, e, iters = 6,
+        seeds = Some(Seq("a")), danglingRedistribute = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-8,
+      s"seeded dangling mode must conserve mass, got ${pr.values.sum}")
+    // d: not the seed, no in-edges -> rank exactly 0 at every iteration
+    assert(pr("d") === 0.0)
+    // leak mode on the same graph keeps shrinking
+    val leak = GraphOps.pagerank(spark, e, iters = 6,
+        seeds = Some(Seq("a")))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(leak.values.sum < 0.9)
+  }
+
   test("dangling redistribution: bit-identical across partition counts") {
     val base = docs(
       "a b c a d e b f g a", "c a d b e f", "g a b c d", "f e d c b a")
