@@ -103,11 +103,29 @@ object Similarity {
     }
   }
 
-  /** Deterministic pseudo-random hyperplane component for (bit, dim). */
+  /** Deterministic pseudo-random hyperplane component for (bit, dim).
+    *
+    * The raw FNV-1a hash is finalized through splitmix64 before the
+    * (-1, 1) mapping: FNV-1a over short STRUCTURED keys ("srp:b:d",
+    * differing in one digit) has almost no cross-key avalanche — the
+    * unfinalized plane rows measured pairwise-correlated at exactly
+    * ±1, i.e. the "nBits hyperplanes" were one effective hyperplane
+    * and bucket count saturated near 20 at ANY nBits (making the
+    * bucketed path silently quadratic at scale). With the finalizer
+    * the rows are independent and occupancy follows 2^-nBits;
+    * SrpPlaneSpec pins both properties. (MinHash/SimHash are
+    * unaffected: they hash DIVERSE text, FNV's designed use, and
+    * MinHash re-mixes through its a*x+b permutations.)
+    */
   private def planeComponent(bit: Int, dim: Int): Double = {
     val h = graft.functions.Fnv1a64.hashString(s"srp:$bit:$dim")
+    // splitmix64 finalizer (public-domain constants)
+    var z = h + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
     // map to (-1, 1)
-    (h.toDouble / Long.MaxValue.toDouble)
+    (z.toDouble / Long.MaxValue.toDouble)
   }
 
   /** Hyperplane matrix for (nBits, dim), memoized per executor — the
@@ -634,9 +652,21 @@ object Similarity {
     * probe joins only its bucket. Recall grows with fewer bits /
     * multi-probe; the shuffle is bounded by bucket sizes.
     */
+  /** Occupancy caveat (measured, BASELINE.md round 7): SRP bucket
+    * sizes are bounded by the corpus GEOMETRY, not by 2^-nBits — every
+    * member of a tight cluster projects with the same signs, so extra
+    * bits cannot split it (observed: 40k vectors in 10 tight clusters
+    * → 20 occupied buckets at nBits=10, max bucket 18k, ~5e8 candidate
+    * pairs). On cluster-concentrated corpora use [[ivfTopK]] (the
+    * quantizer subdivides clusters; its plant-scaled law measures
+    * ~2x at 10x where SRP measures 20-80x). Pass `metrics` to observe
+    * the candidate-pair count — the same raise-the-alarm signal as
+    * [[ivfSelfTopK]].
+    */
   def lshTopK(spark: SparkSession, corpus: DataFrame, probes: DataFrame,
       k: Int, nBits: Int = 8, multiProbe: Int = 0,
-      maxBroadcastProbes: Long = MaxBroadcastProbes): DataFrame = {
+      maxBroadcastProbes: Long = MaxBroadcastProbes,
+      metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     import spark.implicits._
     // frame-session registration + null-row semantics: see ivfCellTopK
     graft.functions.GraftFunctions.register(spark)
@@ -668,11 +698,19 @@ object Similarity {
         col("p.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
         dotCol(col("p.embedding"), col("c.embedding")).as("score"))
+    // candidate-volume telemetry at zero extra shuffle: a degenerate
+    // bucket (see the occupancy caveat above) surfaces here as
+    // candidate_pairs blowing past ~probes x expected-bucket
+    val observed = metrics match {
+      case None => joined
+      case Some(obs) => joined.observe(obs,
+        coalesce(count(lit(1)), lit(0L)).as("candidate_pairs"))
+    }
     // a probe can reach the same neighbor through several probed
     // buckets; dedupe before ranking (single-probe pairs are unique
     // by construction — no shuffle spent on them)
-    val uniq = if (multiProbe <= 0) joined
-      else joined.dropDuplicates("query_id", "neighbor_id")
+    val uniq = if (multiProbe <= 0) observed
+      else observed.dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     uniq.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
