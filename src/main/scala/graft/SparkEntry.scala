@@ -596,6 +596,19 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // Multi-TABLE LSH (the other standard recall lever: L independent
+    // tables, miss rate p^L): one wide native signature pass,
+    // bit-sliced into per-table buckets. Fully hash-oracled — the
+    // oracle slices the same wide plane-literal signature per table.
+    "ann_lsh_multitable_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 500)
+      graft.ops.Similarity.lshTopKTables(s, e, probes, k = 5, nBits = 6,
+          nTables = 4)
+        .select("query_id", "neighbor_id", "rk")
+        .orderBy("query_id", "rk")
+    }),
+
     // ANN scale path 2: IVF with the DETERMINISTIC Lloyd coarse
     // quantizer (fixed lowest-id init, decimal-exact centroid updates
     // — bit-reproducible at any parallelism, the same contract as
@@ -1845,6 +1858,46 @@ object SparkEntry {
        |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Full DuckDB replica of the multi-TABLE SRP-LSH top-k path: the
+    * wide (nBits*nTables) plane-literal signature is sliced per table
+    * — table t's bucket sums bits t*nBits .. t*nBits+nBits-1 — the
+    * candidate union runs one bucket equi-join per table, dedups per
+    * (query, neighbor), and k-cuts on (score desc, id asc).
+    */
+  private def lshMultiTableOracle(k: Int, nBits: Int, nTables: Int,
+      dim: Int, probePred: String): String = {
+    val planes = graft.ops.Similarity.srpPlanes(nBits * nTables, dim)
+    def arr(row: Array[Double]) =
+      row.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    val bucketCols = (0 until nTables).map { tb =>
+      val bits = (0 until nBits).map { j =>
+        val row = planes(tb * nBits + j)
+        s"(CASE WHEN LIST_DOT_PRODUCT(emb, ${arr(row)}) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"      $bits AS b$tb"
+    }.mkString(",\n")
+    val perTable = (0 until nTables).map { tb =>
+      s"""  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    LIST_DOT_PRODUCT(p.emb, c.emb) AS score
+         |  FROM sig p JOIN sig c
+         |    ON p.b$tb = c.b$tb AND p.vec_id <> c.vec_id
+         |  WHERE $probePred""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |sig AS (SELECT vec_id, emb,
+       |$bucketCols
+       |  FROM e),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id, score FROM (
+       |$perTable))
+       |SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rk
+       |  FROM cand)
+       |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Full DuckDB replica of the deterministic-Lloyd IVF top-k path:
     * unrolled CTEs replay the quantizer fit — init = the nlist
     * lowest-id vectors; per round, assignment = argmax of
@@ -2540,6 +2593,8 @@ object SparkEntry {
       probePred = "p.vec_id < 500"),
     "ann_lsh_multiprobe_topk" -> lshMultiProbeOracle(k = 5, nBits = 6,
       dim = 64, extra = 2, probePred = "vec_id < 500"),
+    "ann_lsh_multitable_topk" -> lshMultiTableOracle(k = 5, nBits = 6,
+      nTables = 4, dim = 64, probePred = "p.vec_id < 500"),
     "ann_ivf_topk" -> ivfLloydOracle(k = 5, nlist = 8, nprobe = 2,
       lloydIters = 2, probePred = "vec_id < 500"),
     // exhaustive-mode ANN: approximate path == brute force by

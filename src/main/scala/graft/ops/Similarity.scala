@@ -652,6 +652,70 @@ object Similarity {
     * probe joins only its bucket. Recall grows with fewer bits /
     * multi-probe; the shuffle is bounded by bucket sizes.
     */
+  /** Multi-TABLE SRP-LSH: `nTables` independent nBits-bit hash tables
+    * — the standard LSH recall mechanism (a true neighbor pair is
+    * missed only if it splits in EVERY table: miss rate p^L instead of
+    * p). Complements [[lshTopK]]'s multi-PROBE mode (which widens the
+    * search within one table); the two compose conceptually but are
+    * kept as separate operators because their cost models differ —
+    * multi-table multiplies corpus storage/shuffle by L, multi-probe
+    * multiplies probe fan-out only.
+    *
+    * Scale shape: the corpus pays ONE narrow pass through the native
+    * codegen `srp_sig` at nBits*nTables bits, then explodes to L
+    * (table, bucket) rows per vector — bit-slicing the wide signature,
+    * no second projection pass. Probes broadcast (guarded like every
+    * ANN path); the join key is (table, bucket), so candidate volume
+    * is Σ_t probes x bucket_t. A pair colliding in several tables
+    * dedups before ranking. Fully hash-oracled
+    * (`ann_lsh_multitable_topk`): the oracle slices the same wide
+    * plane-literal signature per table in SQL.
+    */
+  def lshTopKTables(spark: SparkSession, corpus: DataFrame,
+      probes: DataFrame, k: Int, nBits: Int = 6, nTables: Int = 4,
+      maxBroadcastProbes: Long = MaxBroadcastProbes,
+      metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(nBits >= 1 && nTables >= 1 && nBits * nTables <= 30,
+      s"wide signature nBits*nTables = ${nBits * nTables} must fit an INT")
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.functions.GraftFunctions.register(probes.sparkSession)
+    val wide = nBits * nTables
+    val mask = (1 << nBits) - 1
+    def slices(c: Column) = explode(array((0 until nTables).map { t =>
+      struct(lit(t).as("t"),
+        shiftright(c, t * nBits).bitwiseAND(lit(mask)).as("b"))
+    }: _*))
+    def keyed(df: DataFrame) = df
+      .withColumn("sig", call_function("srp_sig", col("embedding"), lit(wide)))
+      .withColumn("tb", slices(col("sig")))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    val cb = keyed(corpus)
+    val pbRaw = keyed(probes).as("p")
+    val pb =
+      if (boundedCount(probes, maxBroadcastProbes) <= maxBroadcastProbes)
+        broadcast(pbRaw)
+      else pbRaw
+    val joined = cb.as("c").join(pb,
+        col("c.t") === col("p.t") && col("c.b") === col("p.b") &&
+        col("c.vec_id") =!= col("p.vec_id"))
+      .select(
+        col("p.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        dotCol(col("p.embedding"), col("c.embedding")).as("score"))
+    val observed = metrics match {
+      case None => joined
+      case Some(obs) => joined.observe(obs,
+        coalesce(count(lit(1)), lit(0L)).as("candidate_pairs"))
+    }
+    // a pair can collide in several tables; one row before ranking
+    val uniq = observed.dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    uniq.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Occupancy caveat (measured, BASELINE.md round 7): SRP bucket
     * sizes are bounded by the corpus GEOMETRY, not by 2^-nBits — every
     * member of a tight cluster projects with the same signs, so extra

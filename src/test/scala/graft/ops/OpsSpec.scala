@@ -139,6 +139,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table lsh: recall dominates one table; pairs dedup across tables") {
+    val e = embeddings.select("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(e, e, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(s: Set[(Long, Long)]) =
+      s.intersect(brute).size.toDouble / brute.size
+    val one = Similarity.lshTopK(spark, e, e, k = 5, nBits = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshTopKTables(spark, e, e, k = 5, nBits = 6,
+        nTables = 4)
+      .select("query_id", "neighbor_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val multiSet = multi.map(t => (t._1, t._2)).toSet
+    info(f"recall@5: one 6-bit table ${recallOf(one)}%.3f, " +
+      f"4 tables ${recallOf(multiSet)}%.3f")
+    // a miss must split in EVERY table: L tables strictly widen the
+    // candidate set, so recall can only improve
+    assert(recallOf(multiSet) >= recallOf(one))
+    assert(recallOf(multiSet) > recallOf(one) + 0.05,
+      "4 tables should materially beat 1 on this corpus")
+    // cross-table collisions dedup: ranks are unique 1..k per query
+    multi.groupBy(_._1).foreach { case (q, rows) =>
+      val rks = rows.map(_._3).sorted.toList
+      assert(rks == (1 to rks.size).toList, s"query $q ranks $rks")
+    }
+  }
+
   test("ivf ann recall vs brute force beats the cell fraction searched") {
     val e = embeddings.select("vec_id", "embedding")
     val brute = Similarity.bruteForceTopK(e, e, 5)
