@@ -1313,7 +1313,7 @@ object SparkEntry {
       val inDir = new java.io.File(base, "in"); inDir.mkdirs()
       try {
         val docs = t(s, dir, "documents")
-        val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
         val chunks = 5
         val chunkCol = least(floor(col("doc_id") * chunks / (mx + 1)),
           lit(chunks - 1))

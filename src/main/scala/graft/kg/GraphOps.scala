@@ -1,9 +1,8 @@
 package graft.kg
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import org.apache.spark.sql.expressions.Window
 
 /** Graph analytics over the materialized KG edge tables — the query
   * layer a knowledge-graph construction pipeline feeds (north star:

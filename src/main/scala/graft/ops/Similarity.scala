@@ -731,7 +731,6 @@ object Similarity {
       k: Int, nBits: Int = 8, multiProbe: Int = 0,
       maxBroadcastProbes: Long = MaxBroadcastProbes,
       metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    import spark.implicits._
     // frame-session registration + null-row semantics: see ivfCellTopK
     graft.functions.GraftFunctions.register(spark)
     graft.functions.GraftFunctions.register(corpus.sparkSession)
