@@ -4,13 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Canonicalization: connected components over the link graph, then
-  * per-component canonical-name election (north star: "GraphX connected
-  * components with salted keys for hot-entity skew").
+  * per-component canonical-name election.
   *
   * Skew strategy:
-  *  - CC runs on GraphX with EdgePartition2D (2-D hash partitioning
-  *    spreads a hot vertex's edges over sqrt(P) partitions — the
-  *    edge-cut analog of salting).
+  *  - CC runs on the alternating large-star/small-star DataFrame core
+  *    ([[graft.spark.Cc]]) whose neighborhood-min aggregations are
+  *    map-side combinable — a hot vertex's edges pre-reduce per map
+  *    task, and AQE splits the skewed emit join.
   *  - the per-component alias aggregation is two-phase: a salted
   *    partial `collect_set`/`sum` (component, salt) followed by the
   *    final merge on component — a hot entity's aliases never funnel
@@ -32,10 +32,9 @@ object Canonicalize {
     */
   def components(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import spark.implicits._
-    // CC runs on the shared graft.spark.Cc core (EdgePartition2D +
-    // Pregel checkpointing under spark.graphx.pregel.checkpointInterval
-    // — set in kg.Main and the test session; see Cc / GraphCheckpoint
-    // for the policy and its local-only temp-dir fallback).
+    // CC runs on the shared graft.spark.Cc core (alternating
+    // large-star/small-star; per-round localCheckpoint keeps the
+    // lineage flat — see Cc for the convergence/skew policy).
     val edges = pairs
       .select(nameIdUdf(col("name_a")).as("src"), nameIdUdf(col("name_b")).as("dst"))
       .as[(Long, Long)].rdd

@@ -135,6 +135,15 @@ object GraphOps {
       danglingRedistribute: Boolean = false): DataFrame = {
     val st = prState(edges, damping, scale, seeds, weighted,
       danglingRedistribute)
+    // Dangling mode references pr TWICE per step (the DM scalar and the
+    // contribution join), so an un-checkpointed lineage doubles the
+    // pr_t subplan per iteration — 2^iters recomputations of iteration
+    // 1 by the final action (measured r8: kg_pagerank_dangling 5.6 s vs
+    // kg_pagerank 2.2 s at identical graph/iters). Checkpoint every
+    // iteration in that mode (guide §1.2: don't recompute what you
+    // already have); values are unchanged — checkpointing is plan-only.
+    val ckptEvery =
+      if (danglingRedistribute) 1 else checkpointEvery
     // try/finally: an iteration job that dies must not leave the
     // edge⋈outdeg and node caches pinned in executor memory for the
     // life of the session
@@ -142,7 +151,7 @@ object GraphOps {
       var pr = st.init
       for (i <- 1 to iters) {
         pr = st.step(pr)
-        if (i % checkpointEvery == 0) pr = pr.localCheckpoint(true)
+        if (i % ckptEvery == 0) pr = pr.localCheckpoint(true)
       }
       // materialize the final ranks (one (node, double) row per node)
       // before the finally block frees the iteration caches
@@ -359,26 +368,35 @@ object GraphOps {
       edges: DataFrame, source: String, iters: Int,
       frontierSizes: scala.collection.mutable.Buffer[Long]): DataFrame = {
     import spark.implicits._
-    var dist = Seq(source).toDF("node").select(col("node"),
-      lit(0L).as("dist"))
-      .localCheckpoint(true)
-    var frontier = dist
-    for (_ <- 1 to iters) {
-      if (frontierSizes != null) frontierSizes += frontier.count()
-      val relaxed = edges.join(frontier, edges("src") === frontier("node"))
-        .select(col("dst").as("node"),
-          (col("dist") + col("weight")).as("dist"))
-      val merged = dist.union(relaxed)
-        .groupBy("node").agg(min(col("dist")).as("dist"))
+    // cache the edge table for the loop: each round's merge is an
+    // ACTION (localCheckpoint), so an uncached `edges` argument — often
+    // a full derivation like bigramEdges — would re-run its scan +
+    // aggregation once per round (measured r8: 4 redundant corpus
+    // scans in kg_shortest_path). Freed before returning; `dist` is
+    // checkpointed so the result never re-reads the cache.
+    val e = edges.cache()
+    try {
+      var dist = Seq(source).toDF("node").select(col("node"),
+        lit(0L).as("dist"))
         .localCheckpoint(true)
-      // next frontier: strictly-improved (or newly reached) nodes only
-      frontier = merged.as("m")
-        .join(dist.as("o"), col("m.node") === col("o.node"), "left")
-        .filter(col("o.dist").isNull || col("m.dist") < col("o.dist"))
-        .select(col("m.node").as("node"), col("m.dist").as("dist"))
-      dist = merged
-    }
-    dist
+      var frontier = dist
+      for (_ <- 1 to iters) {
+        if (frontierSizes != null) frontierSizes += frontier.count()
+        val relaxed = e.join(frontier, e("src") === frontier("node"))
+          .select(col("dst").as("node"),
+            (col("dist") + col("weight")).as("dist"))
+        val merged = dist.union(relaxed)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        // next frontier: strictly-improved (or newly reached) nodes only
+        frontier = merged.as("m")
+          .join(dist.as("o"), col("m.node") === col("o.node"), "left")
+          .filter(col("o.dist").isNull || col("m.dist") < col("o.dist"))
+          .select(col("m.node").as("node"), col("m.dist").as("dist"))
+        dist = merged
+      }
+      dist
+    } finally e.unpersist(blocking = false)
   }
 
   /** Synchronous label-propagation community detection (Raghavan et

@@ -209,9 +209,6 @@ object Main {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // checkpoint the GraphX CC iterations (SURVEY §4): without it a
-      // late executor loss replays the whole 20-deep Pregel lineage
-      .config("spark.graphx.pregel.checkpointInterval", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // durable checkpoint location next to the stage outputs (works for

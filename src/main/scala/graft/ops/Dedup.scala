@@ -390,27 +390,27 @@ object Dedup {
     * per cluster — the step that turns any of the pair generators above
     * into an actual corpus dedup ("keep one doc per duplicate group").
     *
-    * GraphX connected components over the (id_a, id_b) edges (pair
+    * Connected components over the (id_a, id_b) edges (pair
     * transitivity: A~B and B~C dedup to one group even when the A~C
     * pair was never emitted — exactly why the hot-bucket chain pairing
     * only needs CONNECTIVITY, not all pairs); keeper = min doc id per
-    * component, the same election as [[exact]]. Inherits the Pregel
-    * checkpointing conf (see graft.kg.Canonicalize). Only ids ever
-    * enter the graph — 16 bytes per edge regardless of document size.
+    * component, the same election as [[exact]]. Only ids ever enter
+    * the graph — 16 bytes per edge regardless of document size.
     *
-    * `maxIter` bounds the Pregel supersteps (CC converges in
-    * O(component diameter) rounds, each a Spark job). The hot-bucket
-    * chain pairing's EXPONENTIAL offsets keep a degenerate bucket's
-    * component diameter at ~hotChain hops (not a length-n path), so
-    * the default maxIter=20 converges to ONE keeper for buckets up to
-    * ~2^20 members at the default hotChain=20 — asserted degenerate at
-    * n=300k in StressBench and specced in OpsSpec. Components wider
-    * than the bound still split into several keepers, never into a
-    * wrong merge — same contract as `kg.Canonicalize.components`.
+    * `maxIter` bounds the alternating large-star/small-star rounds of
+    * the shared [[graft.spark.Cc]] core (r8: replaced GraphX Pregel),
+    * which converges in O(log n) rounds with an early exit — the
+    * hot-bucket chain pairing's exponential offsets keep a degenerate
+    * bucket's component diameter at ~hotChain hops, well inside the
+    * default maxIter=20 — asserted degenerate at n=300k in StressBench
+    * and specced in OpsSpec. Components wider than the bound still
+    * split into several keepers, never into a wrong merge — same
+    * contract as `kg.Canonicalize.components`.
     *
-    * NOTE: GraphX runs its own actions, so calling this EXECUTES the
-    * upstream pair pipeline immediately (same as `kg_canonicalize`) —
-    * it is not a lazily-composable DataFrame transform.
+    * NOTE: the CC convergence loop runs its own actions, so calling
+    * this EXECUTES the upstream pair pipeline immediately (same as
+    * `kg_canonicalize`) — it is not a lazily-composable DataFrame
+    * transform.
     *
     * @return (doc_id, keeper) for every id that appears in a pair;
     *         docs with no near-dup pair are their own keeper and are

@@ -500,8 +500,10 @@ object Similarity {
   def ivfSelfTopK(spark: SparkSession, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
       maxTrain: Long = 200000L,
-      metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame =
-    ivfCellTopK(spark, corpus, None, k, nlist, nprobe, seed, maxTrain, metrics)
+      metrics: Option[org.apache.spark.sql.Observation] = None,
+      lloydIters: Option[Int] = None): DataFrame =
+    ivfCellTopK(spark, corpus, None, k, nlist, nprobe, seed, maxTrain, metrics,
+      lloydIters = lloydIters)
 
   /** Shared IVF search core: probes broadcast when given (the bounded-
     * probe-set path), the corpus probing itself through a shuffle join
@@ -611,11 +613,16 @@ object Similarity {
   def semanticDedup(spark: SparkSession, corpus: DataFrame, tau: Double,
       nlist: Int = 16, seed: Long = 42L, maxTrain: Long = 200000L,
       maxIter: Int = 20, idCol: String = "vec_id",
-      metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      metrics: Option[org.apache.spark.sql.Observation] = None,
+      lloydIters: Option[Int] = None): DataFrame = {
     // frame-session registration + null-row semantics: see ivfCellTopK
     graft.functions.GraftFunctions.register(spark)
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val bc = fitQuantizer(spark, corpus, nlist, seed, maxTrain)
+    val bc = lloydIters match {
+      case Some(li) => fitQuantizerLloyd(spark, corpus, nlist, li,
+        idCol = idCol)
+      case None => fitQuantizer(spark, corpus, nlist, seed, maxTrain)
+    }
     val centroidsLit = typedlit(bc.value.map(_.toSeq).toSeq)
     // unit-normalize via zip_with against array_repeat: the norm stays
     // in an ordinary argument position — evaluated once per ROW — with

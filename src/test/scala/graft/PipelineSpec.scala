@@ -18,10 +18,6 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // CC iterations checkpoint every 2 Pregel rounds in every test
-      // run (SURVEY §4's promise; Canonicalize.components provides a
-      // temp checkpoint dir when none is set)
-      .config("spark.graphx.pregel.checkpointInterval", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

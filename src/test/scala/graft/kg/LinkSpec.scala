@@ -82,41 +82,23 @@ class LinkSpec extends AnyFunSuite {
     assert(!comps.contains("Ada L")) // no degenerate self-links
   }
 
-  test("CC iterations checkpoint under spark.graphx.pregel.checkpointInterval") {
+  test("alternating-star CC collapses a path graph well inside the round bound") {
     import spark.implicits._
-    // the test session sets checkpointInterval=2 (TestSpark);
-    // components() provides a temp checkpoint dir if none is set. A
-    // 12-node path graph needs ~12 min-id propagation rounds, so
-    // several Pregel iterations checkpoint along the way — and
-    // checkpointing with the interval SET but no directory THROWS
-    // ("Checkpoint directory has not been set"), so a completed run IS
-    // the proof that ensureDir armed a working directory before Pregel
-    // needed it. Leftover rdd-* files are deliberately NOT asserted:
-    // Pregel deletes its periodic checkpoints on completion
-    // (deleteAllCheckpoints) and Cc frees the graphs — temporary files
-    // are supposed to be gone afterwards.
-    assert(spark.sparkContext.getConf
-      .getInt("spark.graphx.pregel.checkpointInterval", -1) == 2)
+    // A 12-node PATH is the anti-star worst case for the alternating
+    // large-star/small-star core (r8: replaced the GraphX Pregel CC):
+    // hash-min propagation would need ~12 rounds, the alternating
+    // algorithm collapses it in O(log n) — maxIter=8 < the path length
+    // proves the sub-diameter convergence is real, not just the bound
+    // being generous; the labels must be the min-id election.
     val chain = (1 until 12).map(i => (f"cc node $i%02d", f"cc node ${i + 1}%02d"))
     val pairs = chain.toDF("name_a", "name_b")
-    val membership = Canonicalize.components(spark, pairs)
+    val membership = Canonicalize.components(spark, pairs, maxIter = 8)
     val comps = membership.collect().map(r => (r.getString(0), r.getLong(1)))
     assert(comps.length == 12)
     assert(comps.map(_._2).distinct.length == 1, "one chain component")
-    // the dir ensureDir armed is set and usable: a direct reliable
-    // checkpoint through it materializes rdd-* data
-    val dir = spark.sparkContext.getCheckpointDir
-    assert(dir.nonEmpty, "components() must ensure a checkpoint dir")
-    val probe = spark.sparkContext.parallelize(1 to 10, 2)
-    probe.checkpoint()
-    probe.count()
-    assert(probe.isCheckpointed, "probe RDD must checkpoint through the dir")
-    def hasRddDir(f: java.io.File): Boolean =
-      f.isDirectory && (f.getName.startsWith("rdd-") ||
-        (f.listFiles != null && f.listFiles.exists(hasRddDir)))
-    val localPath = dir.get.stripPrefix("file:")
-    assert(hasRddDir(new java.io.File(localPath)),
-      s"expected rdd-* checkpoint data under ${dir.get}")
+    // min-id election: every label is the smallest member id
+    val minId = comps.map(r => Canonicalize.nameId(r._1)).min
+    assert(comps.forall(_._2 == minId), "component label must be the min id")
   }
 
   test("mention-level hot-alias skew: AQE splits the skewed edges join") {
