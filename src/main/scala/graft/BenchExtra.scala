@@ -62,6 +62,39 @@ object BenchExtra {
         graft.ops.Similarity.fitQuantizerLloyd(spark, e, nlist = 8, iters = 2)
         ()
       }),
+      "lloyd_fit2_union" -> (() => {
+        val e = t("embeddings").select("vec_id", "embedding")
+        val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
+          col("embedding"))
+        graft.ops.Similarity.fitQuantizerLloyd(spark, e.unionByName(planted),
+          nlist = 8, iters = 2)
+        ()
+      }),
+      "sem_pairs_only" -> (() => {
+        // semanticDedup's pair stage without the CC/keeper tail:
+        // fit + unit-normalize + within-cell join at tau
+        val e = t("embeddings").select("vec_id", "embedding")
+        val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
+          col("embedding"))
+        val corpus = e.unionByName(planted)
+        val bc = graft.ops.Similarity.fitQuantizerLloyd(spark, corpus,
+          nlist = 16, iters = 2)
+        val centroidsLit = typedlit(bc.value.map(_.toSeq).toSeq)
+        val nrm = graft.ops.Similarity.normCol(col("embedding"))
+        val safe = when(nrm > 0, nrm).otherwise(lit(1.0))
+        val unit = corpus.filter(col("embedding").isNotNull)
+          .select(col("vec_id").cast("long").as("id"),
+            zip_with(col("embedding"),
+              array_repeat(safe, size(col("embedding"))),
+              (x, n) => (x / n).cast("float")).as("e"),
+            call_function("ivf_cell", col("embedding"), centroidsLit).as("cell"))
+        val a = unit.select(col("cell"), col("id").as("id_a"), col("e").as("e_a"))
+        val b = unit.select(col("cell"), col("id").as("id_b"), col("e").as("e_b"))
+        noop(a.join(b, "cell")
+          .filter(col("id_a") < col("id_b") &&
+            graft.ops.Similarity.dotCol(col("e_a"), col("e_b")) >= 0.75)
+          .select("id_a", "id_b"))
+      }),
       "self_top1_full" -> (() => noop(SparkEntry.queries("ann_self_top1")(spark, sfDir))),
       "self_exh_full" -> (() => noop(SparkEntry.queries("ann_self_exhaustive_topk")(spark, sfDir))),
       "sem_dedup_full" -> (() => noop(SparkEntry.queries("dedup_semantic")(spark, sfDir))),

@@ -645,18 +645,18 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rk")
         .orderBy("query_id", "rk")
     }),
-    // (r8 perf) lloydIters=Some(2): with nprobe = nlist every probe
+    // (r8 perf) lloydIters=Some(1): with nprobe = nlist every probe
     // visits EVERY quantizer cell, so the output is brute-force-
     // identical whatever the centroids are — the quantizer fit only
-    // shapes the join, never the result. The deterministic 2-round
-    // Lloyd fit costs 3 small jobs where spark.ml KMeans' k-means||
-    // init + 10 iterations cost ~2.5 s of fixed joblet overhead
-    // (guide §1.2: don't compute what the result doesn't depend on).
+    // shapes the join, never the result. One deterministic Lloyd
+    // round (2 small jobs) replaces spark.ml KMeans' k-means|| init +
+    // 10 iterations (~2.5 s of fixed joblet overhead) — guide §1.2:
+    // don't compute what the result doesn't depend on.
     "ann_ivf_exhaustive_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val probes = e.filter(col("vec_id") < 500)
       graft.ops.Similarity.ivfTopK(s, e, probes, k = 5, nlist = 8, nprobe = 8,
-          lloydIters = Some(2))
+          lloydIters = Some(1))
         .select("query_id", "neighbor_id", "rk")
         .orderBy("query_id", "rk")
     }),
@@ -683,13 +683,13 @@ object SparkEntry {
       val e = annUnit(t(s, dir, "embeddings").select("vec_id", "embedding"))
       val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
         col("embedding"))
-      // (r8 perf) lloydIters=Some(2): the rank-1 answer is the planted
+      // (r8 perf) lloydIters=Some(1): the rank-1 answer is the planted
       // twin for ANY quantizer — an identical vector shares its twin's
       // argmin cell deterministically and the probe's first probed cell
       // IS its own assigned cell — so the fit choice cannot change the
       // output; the Lloyd fit drops the spark.ml joblet overhead.
       graft.ops.Similarity.ivfTopK(s, e.unionByName(planted), planted,
-          k = 1, nlist = 8, nprobe = 2, lloydIters = Some(2))
+          k = 1, nlist = 8, nprobe = 2, lloydIters = Some(1))
         .select(col("query_id"), col("neighbor_id"))
         .orderBy("query_id")
     }),
@@ -704,12 +704,12 @@ object SparkEntry {
       val e = annUnit(t(s, dir, "embeddings").select("vec_id", "embedding"))
       val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
         col("embedding"))
-      // (r8 perf) lloydIters=Some(2): same twin-share argument as
+      // (r8 perf) lloydIters=Some(1): same twin-share argument as
       // ann_ivf_plant_top1 — rank 1 is the exact copy under ANY
-      // centroid set, so the fit is join-shape-only; Lloyd replaces the
-      // ~8 s spark.ml KMeans joblet cascade with 3 small jobs.
+      // centroid set, so the fit is join-shape-only; one Lloyd round
+      // replaces the ~8 s spark.ml KMeans joblet cascade.
       graft.ops.Similarity.ivfSelfTopK(s, e.unionByName(planted), k = 1,
-          nlist = 8, nprobe = 2, lloydIters = Some(2))
+          nlist = 8, nprobe = 2, lloydIters = Some(1))
         .select(col("query_id"), col("neighbor_id"))
         .orderBy("query_id")
     }),
@@ -722,13 +722,13 @@ object SparkEntry {
     // directions of every pair) equals brute force by construction and
     // DuckDB oracles the full k=5 ranking rows+schema+hash. Complements
     // `ann_self_top1`, which only pins rank 1 through planted twins.
-    // (r8 perf) lloydIters=Some(2): nprobe = nlist — exhaustive by
+    // (r8 perf) lloydIters=Some(1): nprobe = nlist — exhaustive by
     // construction, so the result is centroid-independent (see
     // ann_ivf_exhaustive_topk); only the fit cost changes.
     "ann_self_exhaustive_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       graft.ops.Similarity.ivfSelfTopK(s, e, k = 5, nlist = 8, nprobe = 8,
-          lloydIters = Some(2))
+          lloydIters = Some(1))
         .select("query_id", "neighbor_id", "rk")
         .orderBy("query_id", "rk")
     }),
@@ -1290,15 +1290,24 @@ object SparkEntry {
     // is the only way to pin cross-micro-batch arrival order).
     "stream_first_seen" -> ((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows: Array[(Long, String)] = t(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .collect().sortBy(_._1)
+      // (r8 perf) the stateful stream runs on a CLONED session whose
+      // shuffle-partition count — which pins the state-store partition
+      // count for the query's life — is sized to the stream's actual
+      // volume instead of the batch engine's default (32 state
+      // partitions x 5 micro-batches = 160 state-store commits for 500
+      // rows). Scale-adaptive, not a local[32] constant: the count
+      // derives from the observed row volume and is env-overridable
+      // for production (see streamSession).
+      val ss = streamSession(s, rows.length.toLong)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.spark.Page]
       val name = "stream_first_seen_" + streamSeq.incrementAndGet()
       val q = graft.streaming.Monitors
-        .firstSeenByContent(s, in.toDS(), stateTimeout = None)
+        .firstSeenByContent(ss, in.toDS(), stateTimeout = None)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
@@ -1311,7 +1320,7 @@ object SparkEntry {
           q.processAllAvailable()
         }
       } finally q.stop()
-      s.table(name)
+      ss.table(name)
         .select(substring_index(col("url"), "/", -1).cast("long")
           .as("doc_id"))
         .orderBy("doc_id")
@@ -1329,7 +1338,6 @@ object SparkEntry {
     // the emitted set is exactly min doc_id per distinct text — the
     // same oracle as stream_first_seen.
     "stream_first_seen_files" -> ((s, dir) => {
-      import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_sff").toFile
       val inDir = new java.io.File(base, "in"); inDir.mkdirs()
       try {
@@ -1338,35 +1346,51 @@ object SparkEntry {
         val chunks = 5
         val chunkCol = least(floor(col("doc_id") * chunks / (mx + 1)),
           lit(chunks - 1))
+        // (r8 perf) spool all chunk files in ONE partitioned write
+        // instead of `chunks` filter+coalesce jobs that each re-scan
+        // the docs table (guide §2.4: one pass, not five). Each chunk
+        // value lands wholly in one task (repartition on the chunk
+        // key), so partitionBy emits exactly one file per chunk; the
+        // per-chunk move + ascending mtimes are unchanged, so the
+        // micro-batch sequence the file source sees is identical.
+        val tmp = new java.io.File(base, "tmp")
+        docs.select(
+            concat(lit("doc://"), col("doc_id")).as("url"),
+            timestamp_seconds(col("doc_id")).as("warc_ts"),
+            lit(Array.emptyByteArray).as("html"),
+            col("text"), lit("en").as("lang"),
+            chunkCol.cast("int").as("chunk"))
+          .repartition(col("chunk"))
+          .write.mode("overwrite").partitionBy("chunk")
+          .parquet(tmp.getAbsolutePath)
         for (i <- 0 until chunks) {
-          val tmp = new java.io.File(base, s"tmp$i")
-          docs.filter(chunkCol === i).select(
-              concat(lit("doc://"), col("doc_id")).as("url"),
-              timestamp_seconds(col("doc_id")).as("warc_ts"),
-              lit(Array.emptyByteArray).as("html"),
-              col("text"), lit("en").as("lang"))
-            .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-          val part = tmp.listFiles().find(f =>
-            f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          val cdir = new java.io.File(tmp, s"chunk=$i")
+          val part = Option(cdir.listFiles()).flatMap(_.find(f =>
+            f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
             .getOrElse(sys.error(s"no parquet part written for chunk $i"))
           val dest = new java.io.File(inDir, f"chunk$i%02d.parquet")
           java.nio.file.Files.move(part.toPath, dest.toPath)
           dest.setLastModified(1700000000000L + i * 60000L)
         }
-        val pages = s.readStream
+        // state-store partitions sized to the stream volume, as in
+        // stream_first_seen (the partitionBy write drops the `chunk`
+        // column from the files, so the Page schema below still holds)
+        val ss = streamSession(s, mx + 1)
+        import ss.implicits._
+        val pages = ss.readStream
           .schema(org.apache.spark.sql.Encoders.product[graft.spark.Page].schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(inDir.getAbsolutePath)
           .as[graft.spark.Page]
         val name = "stream_first_seen_files_" + streamSeq.incrementAndGet()
         val q = graft.streaming.Monitors
-          .firstSeenByContent(s, pages, stateTimeout = None)
+          .firstSeenByContent(ss, pages, stateTimeout = None)
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
-        s.table(name)
+        ss.table(name)
           .select(substring_index(col("url"), "/", -1).cast("long")
             .as("doc_id"))
           .orderBy("doc_id")
@@ -1573,13 +1597,13 @@ object SparkEntry {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.select((col("vec_id") + lit(1099511627776L)).as("vec_id"),
         col("embedding"))
-      // (r8 perf) lloydIters=Some(2): the keeper map is closed-form for
+      // (r8 perf) lloydIters=Some(1): the keeper map is closed-form for
       // ANY cell assignment — exact twins share a cell under every
       // quantizer and tau sits above the corpus's max natural pairwise
       // cosine, so no non-twin pair can connect whatever the cells are;
       // the Lloyd fit removes the spark.ml KMeans fixed overhead.
       graft.ops.Similarity.semanticDedup(s, e.unionByName(planted),
-          tau = 0.75, lloydIters = Some(2))
+          tau = 0.75, lloydIters = Some(1))
         .orderBy("id")
     }),
 
@@ -1598,6 +1622,33 @@ object SparkEntry {
   // memory-sink names must be unique per invocation within a session
   // (Bench runs every query 2-3 times)
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Cloned session for the streaming queries with the shuffle-partition
+    * count — which fixes the stateful query's STATE-STORE partition
+    * count for its whole life — sized to the stream's data volume
+    * instead of inherited from the batch engine's parallelism default.
+    *
+    * Scale policy (guide §2.2 applied to streaming state): one state
+    * partition per ~1000 in-flight rows, floored at 1 and capped at the
+    * context's default parallelism locally; a production deployment
+    * overrides via SPARK_GRAFT_STREAM_PARTITIONS (state partitioning is
+    * a per-pipeline capacity decision — it must scale with key
+    * cardinality/ingest rate, and CANNOT be changed after the first
+    * checkpoint, which is exactly why it should not silently inherit a
+    * batch-engine constant). At the suite's 500-row replay the old
+    * inherited 32 partitions meant 32 state-store commits per
+    * micro-batch — 160 near-empty store files per run whose fsync/commit
+    * latency, not computation, dominated both streaming queries.
+    */
+  private def streamSession(s: SparkSession, rows: Long): SparkSession = {
+    val ss = s.newSession()
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
+      .map(_.toInt)
+      .getOrElse(math.max(1L, math.min(rows / 1000L,
+        s.sparkContext.defaultParallelism.toLong)).toInt)
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    ss
+  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL. Column names/aliases match the Spark results

@@ -301,9 +301,24 @@ object Multimodal {
       }
       y += 1
     }
+    // encode through an explicit MemoryCacheImageOutputStream (same as
+    // the TIFF writer scaffold): ImageIO.write(img, fmt, OutputStream)
+    // wraps the stream in a FileCacheImageOutputStream by default —
+    // one disk-backed temp file PER ENCODE, i.e. per-row synchronous
+    // file I/O on the generator path of every mm_* query (r8 measured).
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+    require(writers.hasNext, s"no JDK ImageIO writer for format '$format'")
+    val writer = writers.next()
     val bos = new java.io.ByteArrayOutputStream()
-    val ok = javax.imageio.ImageIO.write(img, format, bos)
-    require(ok, s"no JDK ImageIO writer for format '$format'")
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     bos.toByteArray
   }
 

@@ -550,8 +550,19 @@ object Similarity {
     val cellsUdf = udf((v: Seq[Float]) =>
       if (v == null) Array.empty[Int] else nearestCells(bc.value, v, nprobe))
 
-    val cb = corpus.withColumn("cell",
-      call_function("ivf_cell", col("embedding"), centroidsLit))
+    // (r8) The join on `cell` makes Catalyst infer IsNotNull(cell) and
+    // push it below the projection — duplicating the ivf_cell
+    // evaluation into a Filter, i.e. TWO assignment passes over every
+    // corpus vector (visible in the r7 plan: ivf_cell in both Filter
+    // and Project). Filtering null embeddings explicitly and wrapping
+    // the key in coalesce(key, -1) makes the key non-nullable, so the
+    // inferred IsNotNull constant-folds away and the assignment runs
+    // ONCE per row. -1 is outside ivf_cell's 0..nlist-1 domain and the
+    // explicit filter means the fallback never actually fires —
+    // null-row semantics are unchanged (null embeddings drop out).
+    val cb = corpus.filter(col("embedding").isNotNull).withColumn("cell",
+      coalesce(call_function("ivf_cell", col("embedding"), centroidsLit),
+        lit(-1)))
     val pbRaw = probes.getOrElse(corpus)
       .withColumn("cell", explode(cellsUdf(col("embedding")))).as("p")
     // probe-side broadcast only while the bounded-probe contract
@@ -636,7 +647,12 @@ object Similarity {
         zip_with(col("embedding"),
           array_repeat(safe, size(col("embedding"))),
           (x, n) => (x / n).cast("float")).as("e"),
-        call_function("ivf_cell", col("embedding"), centroidsLit).as("cell"))
+        // coalesce(cell, -1): kills the inferred IsNotNull(cell) the
+        // cell self-join would otherwise push down as a SECOND
+        // ivf_cell evaluation per row (see ivfCellTopK); unreachable
+        // behind the isNotNull filter above
+        coalesce(call_function("ivf_cell", col("embedding"), centroidsLit),
+          lit(-1)).as("cell"))
     val a = unit.select(col("cell"), col("id").as("id_a"), col("e").as("e_a"))
     val b = unit.select(col("cell"), col("id").as("id_b"), col("e").as("e_b"))
     val pairs = a.join(b, "cell")
@@ -751,9 +767,16 @@ object Similarity {
     // explode drops the row) instead of NPEing the multi-probe path
     val probeUdf = udf((v: Seq[Float]) =>
       if (v == null) Array.empty[Int] else srpProbeBuckets(v, nBits, multiProbe))
-    val cb = corpus.withColumn("bucket", sigCol(col("embedding")))
+    // coalesce(sig, -1) after an explicit null filter: same
+    // IsNotNull-constraint double-evaluation fix as ivfCellTopK — the
+    // bucket join otherwise re-evaluates srp_sig in an inferred Filter
+    // on the pass that touches every corpus vector. -1 is outside the
+    // 0..2^nBits-1 signature domain and unreachable behind the filter.
+    val cb = corpus.filter(col("embedding").isNotNull)
+      .withColumn("bucket", coalesce(sigCol(col("embedding")), lit(-1)))
     val pb =
-      if (multiProbe <= 0) probes.withColumn("bucket", sigCol(col("embedding")))
+      if (multiProbe <= 0) probes.filter(col("embedding").isNotNull)
+        .withColumn("bucket", coalesce(sigCol(col("embedding")), lit(-1)))
       else probes.withColumn("bucket", explode(probeUdf(col("embedding"))))
     // same guarded broadcast as the IVF core: the bucket equi-key
     // means an over-cap probe set degrades to a shuffle join, not OOM

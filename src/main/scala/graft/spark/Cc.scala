@@ -116,34 +116,37 @@ object Cc {
     // Thm 1), so a period-2 cycle e_t -> e_{t+1} -> e_t with
     // e_{t+1} != e_t is impossible — e_{t+2} == e_t forces
     // e_{t+1} == e_t.
-    // NOTE (measured r8): materializing each cycle with persist() and
-    // letting the convergence join populate the cache looks like it
-    // saves one job per cycle, but the compare join's probe side then
-    // CONTAINS the cached plan as a subtree — the self-referential plan
-    // defeats cache substitution and AQE reuse and blew the second
-    // cycle up 30-50x. The eager localCheckpoint gives each cycle an
-    // opaque, flat base; its extra job is ~0.2 s and scale-safe.
-    val roundsPerCycle = 2
+    // NOTE (measured r8): materializing each round with persist() and
+    // letting the convergence check populate the cache looks like it
+    // saves one job, but the compare join's probe side then CONTAINS
+    // the cached plan as a subtree — the self-referential plan defeats
+    // cache substitution and AQE reuse and blew the next round up
+    // 30-50x. The eager localCheckpoint gives each round an opaque,
+    // flat base; its extra job is small and scale-safe.
     while (!converged && round < maxIter) {
       val tRound = System.nanoTime()
-      val n = math.min(roundsPerCycle, maxIter - round)
-      var cur = e
-      var i = 0
-      while (i < n) { cur = smallStar(largeStar(cur)); i += 1 }
-      val ss = cur.localCheckpoint(true)
-      // fixpoint test: the star forest stopped changing. Both sides
-      // are distinct (u, v) sets, so a full-outer join with a
-      // null-side filter is exact set equality — exact, no
-      // hash-compare false convergence.
-      converged = ss.select(col("u"), col("v"), lit(1).as("_n"))
-        .join(e.select(col("u"), col("v"), lit(1).as("_o")),
-          Seq("u", "v"), "full_outer")
-        .filter(col("_n").isNull || col("_o").isNull)
-        .isEmpty
+      val ss = smallStar(largeStar(e)).localCheckpoint(true)
+      // Fixpoint test: `ss` is converged exactly when it is a STAR
+      // FOREST — (a) no vertex appears on both the root (u) and member
+      // (v) side, and (b) every member appears exactly ONCE on the v
+      // side (a member with two roots — reachable mid-run, e.g. SS of
+      // {(1,5),(2,6),(5,6)} = {(1,5),(2,5),(2,6)} — passes (a) alone
+      // but is not yet collapsed). A star forest is a fixpoint of both
+      // stars, and its labels are exactly the min-id election. This
+      // violation-emptiness check is cheaper than whole-set equality
+      // AND fires on the round convergence is reached instead of
+      // needing a confirming no-change round — star-heavy graphs
+      // (near-dup clusters, alias groups) finish in ONE round, one
+      // action.
+      val dupV = ss.groupBy("v").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("v"))
+      val rootAsMember = ss.select(col("v"))
+        .join(ss.select(col("u").as("v")), Seq("v"), "left_semi")
+      converged = dupV.unionByName(rootAsMember).isEmpty
       e = ss
-      round += n
+      round += 1
       if (debug) System.err.println(
-        f"[cc] rounds $round ${(System.nanoTime() - tRound) / 1e9}%.3f s " +
+        f"[cc] round $round ${(System.nanoTime() - tRound) / 1e9}%.3f s " +
           s"converged=$converged")
     }
     // At the fixpoint `e` is a star forest: (root=u, member=v) with
