@@ -119,18 +119,30 @@ object BenchExtra {
       "substr_full" -> (() => noop(SparkEntry.queries("doc_substring_dedup")(spark, sfDir))),
       "mm_resize_full" -> (() => noop(SparkEntry.queries("mm_resize_real")(spark, sfDir)))
     )
+    // job census: how much of a phase is scheduled-job count vs data —
+    // the per-job floor dominates toy-scale queries (guide §1: know
+    // where the time goes before touching anything)
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      })
     val want = args.toSet
     val sel = if (want.isEmpty) phases else phases.filter(p => want(p._1))
     val out = sel.map { case (name, fn) =>
       spark.sparkContext.setJobDescription(s"extra:$name")
-      def once(): Double = {
+      def once(): (Double, Long) = {
+        val j0 = jobCount.get()
         val t0 = System.nanoTime()
         fn()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, jobCount.get() - j0)
       }
-      val s1 = once(); val s2 = once()
+      val (s1, j1) = once(); val (s2, j2) = once()
       spark.sparkContext.setJobDescription(null)
-      f""""$name":[${s1}%.3f,${s2}%.3f]"""
+      f""""$name":{"sec":[${s1}%.3f,${s2}%.3f],"jobs":[$j1,$j2]}"""
     }
     println("EXTRA " + out.mkString("{", ",", "}"))
     spark.stop()

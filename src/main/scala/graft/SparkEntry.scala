@@ -775,8 +775,8 @@ object SparkEntry {
     // decoded samples are the written samples exactly.
     "mm_decode_real" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).as("len"))
+      val media = graft.spark.Scans.spread(t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len")), col("doc_id"))
         .as[(Long, Int)]
         .map { case (id, len) =>
           val w = 3 + (id % 13).toInt
@@ -799,8 +799,8 @@ object SparkEntry {
     // path without any image library.
     "mm_resize_real" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).as("len"))
+      val media = graft.spark.Scans.spread(t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len")), col("doc_id"))
         .as[(Long, Int)]
         .map { case (id, len) =>
           val w = 6 + (id % 7).toInt
@@ -822,8 +822,8 @@ object SparkEntry {
     // one output row per frame, all columns closed-form.
     "mm_frames_real" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).as("len"))
+      val media = graft.spark.Scans.spread(t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len")), col("doc_id"))
         .as[(Long, Int)]
         .map { case (id, len) =>
           val nf = 1 + (id % 4).toInt
@@ -846,8 +846,8 @@ object SparkEntry {
     // fields and the exact sample sum are closed-form.
     "mm_audio_real" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).as("len"))
+      val media = graft.spark.Scans.spread(t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len")), col("doc_id"))
         .as[(Long, Int)]
         .map { case (id, len) =>
           (id, graft.ops.Multimodal.syntheticWav(id, 50 + len % 97, 8000))
@@ -1114,8 +1114,9 @@ object SparkEntry {
         dense = Array(Array(0f, 10f), Array(0f, 10f)),
         denseBias = Array(0f, -7.6f),
         transition = Array(Array(0.0, 0.0), Array(0.0, 0.0)))
-      val sents = t(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val sents = graft.spark.Scans.spread(t(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
+        .as[(Long, String)]
         .map { case (id, text) =>
           val tkns: Seq[String] = text.split(" ").toSeq.zipWithIndex
             .map { case (w, i) => if (i % 13 == 7) "zzalice" else w }
@@ -1154,8 +1155,9 @@ object SparkEntry {
       val fw = cell(2, 2); val bw = cell(2, 2)
       val htmlVocab = Map("div" -> 0, "body" -> 1)
       val htmlEmb = Array(Array(0.1f, 0.2f), Array(0.3f, 0.4f), Array(0f, 0f))
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      graft.spark.Scans.spread(t(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
+        .as[(Long, String)]
         .mapPartitions { it =>
           // the html repr is doc-independent (hoisted), and the char-
           // LSTM repr is a pure function of the word — memoized per
@@ -1207,8 +1209,9 @@ object SparkEntry {
       val dense = Attention.Dense(
         Array(Array(1f, 0f), Array(0f, 1f)), Array(0f, 0f))
       val gamma = Array(1.0, 1.0); val beta = Array(0.0, 0.0)
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      graft.spark.Scans.spread(t(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
+        .as[(Long, String)]
         .map { case (id, text) =>
           val n = text.split(" ").length
           val inputs: Array[Array[Double]] = Array.tabulate(n)(i =>
@@ -1229,8 +1232,9 @@ object SparkEntry {
     // count and rebuilt text must equal DuckDB's whitespace split.
     "warc_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val pages = t(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val pages = graft.spark.Scans.spread(t(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
+        .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           val html = "<html><body><div class=\"doc\"><p>" + text +
             "</p></div></body></html>"

@@ -18,7 +18,11 @@ object SynthPages {
 
   def fromDocuments(spark: SparkSession, documents: DataFrame): Dataset[Page] = {
     import spark.implicits._
-    documents.select(
+    // scan-parallelism floor (graft.spark.Scans): the downstream
+    // extraction kernel is a narrow map over these pages, so a
+    // single-split documents scan would run the whole HTML parse on
+    // one task; no-op whenever the scan is already well-split
+    graft.spark.Scans.spread(documents, col("doc_id")).select(
         concat(lit("doc://"), col("source"), lit("/"), col("doc_id")).as("url"),
         to_timestamp(lit("2024-01-01 00:00:00"))
           .plus(expr("make_interval(0, 0, 0, 0, 0, 0, doc_id)")).as("warc_ts"),

@@ -35,10 +35,17 @@ object Canonicalize {
     // CC runs on the shared graft.spark.Cc core (alternating
     // large-star/small-star; per-round localCheckpoint keeps the
     // lineage flat — see Cc for the convergence/skew policy).
-    val edges = pairs
+    // Materialize the pair pipeline ONCE: both the edge RDD and the
+    // vertex name table derive from `pairs`, which is typically a full
+    // upstream derivation (the linker window chain) — without the
+    // checkpoint the vertex branch re-executed it a second time
+    // (r8 measured, the same redundant-derivation class as the
+    // shortest-path edge cache).
+    val p = pairs.select(col("name_a"), col("name_b")).localCheckpoint(true)
+    val edges = p
       .select(nameIdUdf(col("name_a")).as("src"), nameIdUdf(col("name_b")).as("dst"))
       .as[(Long, Long)].rdd
-    val vertices = pairs
+    val vertices = p
       .select(explode(array(col("name_a"), col("name_b"))).as("name"))
       .distinct()
       .select(nameIdUdf(col("name")).as("id"), col("name"))

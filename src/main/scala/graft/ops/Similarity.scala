@@ -59,6 +59,22 @@ object Similarity {
     */
   private[ops] val MaxBroadcastProbes = 200000L
 
+  /** Spread a small scan across the cluster before a compute-heavy
+    * stage (guide §6: scan parallelism floor). The dot-product stream
+    * of every ANN join runs at the parallelism of the CORPUS SCAN —
+    * a corpus that fits one parquet split runs its entire O(n·probes)
+    * scoring on ONE task while the rest of the cluster idles (measured
+    * r8: the 4M-pair self-exhaustive scoring stage ran 1-2 tasks on 32
+    * cores). Repartitioning by the id key is deterministic, skew-free
+    * for unique ids, and a NO-OP at scale: whenever the scan already
+    * has at least `defaultParallelism` splits (any real corpus), the
+    * input is returned untouched — this is input-layout-adaptive, not
+    * a local-mode constant.
+    */
+  private[ops] def spreadSmallScan(df: DataFrame,
+      key: String = "vec_id"): DataFrame =
+    graft.spark.Scans.spread(df, col(key))
+
   /** Brute-force top-k by dot product: corpus x broadcast(probes).
     *
     * k == 1 avoids the ranking window entirely: `max(struct(score,
@@ -83,7 +99,9 @@ object Similarity {
         s"$nProbes): the keyless scoring join only exists broadcast — " +
         "use lshTopK/ivfTopK (bucketed, shuffle-joinable) or " +
         "ivfSelfTopK for corpus-sized probe sets")
-    val joined = corpus.as("c")
+    // corpus side spread before the keyless scoring join: the dot
+    // stream runs at the corpus scan's parallelism (see spreadSmallScan)
+    val joined = spreadSmallScan(corpus).as("c")
       .join(broadcast(probes.as("p")),
         col("c.vec_id") =!= col("p.vec_id"))
       .select(
@@ -560,10 +578,15 @@ object Similarity {
     // ONCE per row. -1 is outside ivf_cell's 0..nlist-1 domain and the
     // explicit filter means the fallback never actually fires —
     // null-row semantics are unchanged (null embeddings drop out).
-    val cb = corpus.filter(col("embedding").isNotNull).withColumn("cell",
+    // corpus spread across the cluster when its scan under-splits: the
+    // cell-join's scoring stream otherwise runs at scan parallelism
+    // (no-op at scale — see spreadSmallScan). The self-join probe side
+    // shares the spread frame so neither stream starves.
+    val corpusS = spreadSmallScan(corpus)
+    val cb = corpusS.filter(col("embedding").isNotNull).withColumn("cell",
       coalesce(call_function("ivf_cell", col("embedding"), centroidsLit),
         lit(-1)))
-    val pbRaw = probes.getOrElse(corpus)
+    val pbRaw = probes.getOrElse(corpusS)
       .withColumn("cell", explode(cellsUdf(col("embedding")))).as("p")
     // probe-side broadcast only while the bounded-probe contract
     // actually holds; past the cap the cell-keyed join shuffles both
@@ -772,7 +795,14 @@ object Similarity {
     // bucket join otherwise re-evaluates srp_sig in an inferred Filter
     // on the pass that touches every corpus vector. -1 is outside the
     // 0..2^nBits-1 signature domain and unreachable behind the filter.
-    val cb = corpus.filter(col("embedding").isNotNull)
+    // spread only the one-bucket (nBits == 0, exhaustive) mode: its
+    // scoring volume is probes x corpus, so the scan-parallelism floor
+    // pays for its exchange; bucketed modes score ~2^-nBits of that
+    // per probe and the extra exchange would cost more than it spreads
+    // at the bucketed volume (measured r8: +0.4 s on sub-second
+    // queries, -4 s on the exhaustive twin)
+    val cbBase = if (nBits == 0) spreadSmallScan(corpus) else corpus
+    val cb = cbBase.filter(col("embedding").isNotNull)
       .withColumn("bucket", coalesce(sigCol(col("embedding")), lit(-1)))
     val pb =
       if (multiProbe <= 0) probes.filter(col("embedding").isNotNull)
