@@ -846,8 +846,13 @@ object SparkEntry {
     // fields and the exact sample sum are closed-form.
     "mm_audio_real" -> ((s, dir) => {
       import s.implicits._
-      val media = graft.spark.Scans.spread(t(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).as("len")), col("doc_id"))
+      // NOT spread (r8, measured): javax.sound's AudioSystem provider
+      // registry serializes concurrent decodes on a global lock, so
+      // fanning the trivial WAV kernel across 32 tasks REGRESSED 1.7 s
+      // -> 2.7 s (lock contention + an exchange for ~µs/row work); the
+      // ImageIO paths don't share that lock and stay spread.
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len"))
         .as[(Long, Int)]
         .map { case (id, len) =>
           (id, graft.ops.Multimodal.syntheticWav(id, 50 + len % 97, 8000))

@@ -208,20 +208,27 @@ object GraphOps {
   private def prState(edges: DataFrame, damping: Double, scale: Int,
       seeds: Option[Seq[String]], weighted: Boolean,
       danglingRedistribute: Boolean): PrState = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst")))
+    // cache the edge argument itself for the state build: `edges` is
+    // typically a full derivation (bigramEdges = corpus explode +
+    // groupBy) and the node set, out-degree table and dangling set
+    // each materialize it separately — 2-3 redundant derivations per
+    // pagerank call without this (r8; same class as the shortest-path
+    // edge cache). Freed in close() with the other state caches.
+    val e = edges.cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst")))
       .distinct()
       .repartition(col("node"))
       .cache()
     val n = nodes.count()
     val outdeg =
-      if (weighted) edges.groupBy("src").agg(sum(col("weight")).as("outdeg"))
-      else edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      if (weighted) e.groupBy("src").agg(sum(col("weight")).as("outdeg"))
+      else e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // edge ⋈ outdeg once, up front; cached partitioned on src so each
     // iteration's rank join reuses the partitioning (rank side shuffles,
     // edges do not).
     val eCols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
-    val eo = edges.select(eCols.map(col): _*).join(outdeg, "src")
+    val eo = e.select(eCols.map(col): _*).join(outdeg, "src")
       .repartition(col("src"))
       .cache()
     // dangling node set (no out-edges), computed once: node-keyed
@@ -288,6 +295,7 @@ object GraphOps {
         nodes.unpersist(blocking = false)
         eo.unpersist(blocking = false)
         dangling.foreach(_.unpersist(blocking = false))
+        e.unpersist(blocking = false)
       })
   }
 

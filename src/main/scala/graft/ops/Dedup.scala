@@ -290,7 +290,10 @@ object Dedup {
     // come from the native codegen `minhash_sig` expression: no row
     // deserialization into a typed Dataset for the hash stage.
     graft.functions.GraftFunctions.register(spark)
-    val sigs = base.select(col("id"),
+    // scan-parallelism floor (graft.spark.Scans): the k-permutation
+    // signature kernel (~shingles x k hash-mins per document) runs at
+    // the docs scan's parallelism; no-op on well-split inputs
+    val sigs = graft.spark.Scans.spread(base, col("id")).select(col("id"),
       call_function("minhash_sig", col("text"), lit(w), lit(k)).as("sig"))
 
     val banded = sigs.select(col("id"), xxhash64(col("sig")).as("sighash"),
@@ -470,8 +473,12 @@ object Dedup {
     // String.split, no per-row array allocations (the Dataset-map
     // formulation paid all three)
     graft.functions.GraftFunctions.register(spark)
-    val hashed = docs.select(col(idCol).cast("long").as("id"),
-      call_function("simhash64", col(textCol)).as("simhash"))
+    // scan-parallelism floor: same rationale as minhashLshPairs
+    val hashed = graft.spark.Scans
+      .spread(docs.select(col(idCol).cast("long").as("id"), col(textCol)),
+        col("id"))
+      .select(col("id"),
+        call_function("simhash64", col(textCol)).as("simhash"))
     val blocked = hashed.select(col("id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), b -> " +
         "struct(b as blk, shiftright(simhash, b * 16) & 65535 as key))")).as("e"))

@@ -87,7 +87,12 @@ object SubstringDedup {
     // limit -1: trailing empty tokens survive, matching DuckDB's
     // string_split — position arithmetic must agree with the oracle
     val toks = split(col(textCol), " ", -1)
-    val grams = docs
+    // scan-parallelism floor (graft.spark.Scans): the per-token
+    // fingerprint kernel runs twice over this frame (dup-set agg + hit
+    // join, the documented two-pass trade) at the parallelism of the
+    // docs scan — a single-split corpus would hash every token
+    // single-threaded, twice; no-op on well-split inputs
+    val grams = graft.spark.Scans.spread(docs, col(idCol))
       .filter(col(textCol).isNotNull && size(toks) >= k)
       .select(col(idCol).as("doc_id"),
         posexplode(gramFingerprints(toks, k)).as(Seq("pos", "gh")))
