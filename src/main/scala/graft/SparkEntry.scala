@@ -1768,6 +1768,15 @@ object SparkEntry {
       weighted: Boolean = false,
       dangling: Boolean = false,
       edgesCte: String = graphEdgesCte): String = {
+    // the engine folds dangling mass into the SEED distribution when
+    // seeds are given (topic-sensitive formulation); recvSql below
+    // always redistributes DM/N uniformly — registering a seeded
+    // dangling oracle through this generator would silently diverge,
+    // so refuse the combination until recvSql is seed-aware
+    require(seeds.isEmpty || !dangling,
+      "pagerankOracle: seeded dangling mode not replicated (engine " +
+        "concentrates DM on the seed set; this SQL redistributes " +
+        "uniformly) — make recvSql seed-aware before registering one")
     val odExpr = if (weighted) "SUM(weight)" else "COUNT(*)"
     val shareExpr =
       if (weighted) "p.rank * e.weight/od.outdeg" else "p.rank/od.outdeg"

@@ -55,8 +55,18 @@ object Merge {
     val d2 = delta.select(key.map(col) ++
       nonKey.map(c => col(c).as(s"__d_$c")): _*)
       .withColumn("__in_delta", dupGuard)
-    b2.join(d2, key, "full_outer")
-      .select(key.map(col) ++ nonKey.map { c =>
+    val joined = b2.join(d2, key, "full_outer")
+    if (nonKey.isEmpty)
+      // key covers every column: the winner projection below would not
+      // reference __in_delta, so Catalyst would prune the window +
+      // raise_error guard and duplicate delta keys would silently fan
+      // out. Keep the guard alive in a WHERE instead — base-only rows
+      // carry a NULL flag and pass; delta rows evaluate the guard
+      // (true, or the raise). Semantically a no-op filter.
+      joined.filter(coalesce(col("__in_delta"), lit(true)))
+        .select(key.map(col): _*)
+    else
+      joined.select(key.map(col) ++ nonKey.map { c =>
         when(col("__in_delta").isNotNull, col(s"__d_$c"))
           .otherwise(col(s"__b_$c")).as(c)
       }: _*)

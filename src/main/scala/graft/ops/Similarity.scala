@@ -446,12 +446,15 @@ object Similarity {
       maxTrain, None, maxBroadcastProbes, lloydIters)
 
   /** Deterministic coarse-quantizer fit: Lloyd's algorithm with a fixed
-    * init (the `nlist` lowest-id vectors) and EXACT arithmetic in the
-    * centroid update — per-dimension sums run through DECIMAL(38,15)
-    * (order-independent) and the mean is rounded to `scale` decimals —
-    * so the fitted centroids are bit-identical at any parallelism and
-    * fully replicable in SQL (the `ann_ivf_topk` oracle replays every
-    * assignment and update in DuckDB). spark.ml KMeans (the
+    * init (the `nlist` lowest-id vectors) and order-independent
+    * centroid updates — per-dimension sums run through DECIMAL(38,15)
+    * (exact, so the sum is parallelism-invariant), then the mean
+    * divides that sum as a DOUBLE and rounds to `scale` decimals (a
+    * deterministic function of the exact sum, though not itself exact
+    * rational arithmetic) — so the fitted centroids are bit-identical
+    * at any parallelism and fully replicable in SQL (the
+    * `ann_ivf_topk` oracle replays every assignment and update in
+    * DuckDB). spark.ml KMeans (the
     * [[fitQuantizer]] default) converges faster per pass but its
     * k-means|| init and float merge order are runtime-dependent; this
     * fit is the reproducibility-contract variant — the same trade the
@@ -739,8 +742,12 @@ object Similarity {
         col("tb.t").as("t"), col("tb.b").as("b"))
     val cb = keyed(corpus)
     val pbRaw = keyed(probes).as("p")
+    // keyed() explodes each probe to nTables rows, so the broadcast
+    // guard bounds rows AFTER the explosion: count against the cap
+    // divided by the fan-out, not the raw probe count
+    val probeCap = math.max(1L, maxBroadcastProbes / nTables)
     val pb =
-      if (boundedCount(probes, maxBroadcastProbes) <= maxBroadcastProbes)
+      if (boundedCount(probes, probeCap) <= probeCap)
         broadcast(pbRaw)
       else pbRaw
     val joined = cb.as("c").join(pb,

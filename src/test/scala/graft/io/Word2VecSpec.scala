@@ -64,6 +64,29 @@ class Word2VecSpec extends AnyFunSuite {
     }
   }
 
+  test("binary codec: record-boundary truncation / overstated header raise, not under-emit") {
+    val f = binFile()
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // cut EXACTLY after record 1's float payload (header + "alpha ",
+    // + 3 floats, no terminator): every remaining byte parses cleanly,
+    // so only the emitted-vs-header count can catch the missing tail
+    val headerEnd = bytes.indexOf('\n'.toByte) + 1
+    val rec1End = headerEnd + "alpha".length + 1 + 4 * 3
+    val boundary = bytes.take(rec1End)
+    val e = intercept[IllegalArgumentException] {
+      Word2Vec.parseBinary(boundary).toSeq
+    }
+    assert(e.getMessage.contains("shard ended after 1"), e.getMessage)
+    // header overstating the word count is the same corruption class
+    val overstated = bytes.clone()
+    overstated(0) = '9'.toByte // "3 3\n" -> "9 3\n"
+    val e2 = intercept[IllegalArgumentException] {
+      Word2Vec.parseBinary(overstated).toSeq
+    }
+    assert(e2.getMessage.contains("truncated") ||
+      e2.getMessage.contains("shard ended"), e2.getMessage)
+  }
+
   test("text format: header line skipped, dim mismatch fails fast") {
     val f = java.io.File.createTempFile("w2v", ".txt")
     f.deleteOnExit()

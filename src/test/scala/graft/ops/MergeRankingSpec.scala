@@ -58,6 +58,28 @@ class MergeRankingSpec extends AnyFunSuite {
     assert(ok === Set((1L, "old1"), (2L, "new2")))
   }
 
+  test("upsert: all-key schema keeps the duplicate guard alive (no silent fan-out)") {
+    import spark.implicits._
+    // key covers every column: the winner projection reads no non-key
+    // column, so the guard must survive in the WHERE instead of being
+    // pruned with the unreferenced __in_delta
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    val dup = Seq((2L, "b"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+    val e = intercept[Exception] {
+      Merge.upsert(base, dup, Seq("id", "tag")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("multiple rows for key")),
+      s"expected the duplicate-key guard, got: $e")
+    // unique all-key delta: MERGE degenerates to set union on the key
+    val ok = Merge.upsert(base, Seq((2L, "b"), (3L, "c")).toDF("id", "tag"),
+        Seq("id", "tag"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ok === Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("bm25: matches the closed-form score on a two-doc fixture") {
     import spark.implicits._
     // doc 0: 'x x y' (tf_x=2, dl=3); doc 1: 'y z z z' (dl=4); query = {x}
