@@ -290,10 +290,15 @@ object Dedup {
     // come from the native codegen `minhash_sig` expression: no row
     // deserialization into a typed Dataset for the hash stage.
     graft.functions.GraftFunctions.register(spark)
-    // scan-parallelism floor (graft.spark.Scans): the k-permutation
-    // signature kernel (~shingles x k hash-mins per document) runs at
-    // the docs scan's parallelism; no-op on well-split inputs
-    val sigs = graft.spark.Scans.spread(base, col("id")).select(col("id"),
+    // NO scan-parallelism spread here (measured negative result, r8):
+    // the codegen minhash kernel is cheap relative to an exchange that
+    // would carry every TEXT — alternating same-JVM A/B over 5 samples
+    // measured spread slower (median 3.90 vs 3.74 s, min 2.74 vs
+    // 2.15 s; doc_dedup_clusters median 6.51 vs 5.18 s). The banding
+    // shuffle right below already parallelizes everything downstream,
+    // and on real (multi-split) corpora the kernel parallelism comes
+    // from the scan itself.
+    val sigs = base.select(col("id"),
       call_function("minhash_sig", col("text"), lit(w), lit(k)).as("sig"))
 
     val banded = sigs.select(col("id"), xxhash64(col("sig")).as("sighash"),
@@ -473,10 +478,11 @@ object Dedup {
     // String.split, no per-row array allocations (the Dataset-map
     // formulation paid all three)
     graft.functions.GraftFunctions.register(spark)
-    // scan-parallelism floor: same rationale as minhashLshPairs
-    val hashed = graft.spark.Scans
-      .spread(docs.select(col(idCol).cast("long").as("id"), col(textCol)),
-        col("id"))
+    // NO scan-parallelism spread (same measured negative result as
+    // minhashLshPairs: same-JVM A/B median 3.38 vs 2.15 s — the 64-bit
+    // codegen hash is far cheaper than exchanging the texts)
+    val hashed = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol))
       .select(col("id"),
         call_function("simhash64", col(textCol)).as("simhash"))
     val blocked = hashed.select(col("id"), col("simhash"),
